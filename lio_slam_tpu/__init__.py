@@ -1,0 +1,24 @@
+"""lio_slam_tpu — a TPU-native LiDAR-inertial SLAM engine.
+
+A ground-up re-design (JAX / XLA / Pallas / pjit) of the capabilities of the
+reference system (JiLiBIT/LIO-SLAM, a ROS1/C++ LIO-SAM fork):
+
+- scan deskew via IMU rotation integration
+- scan-to-map point-to-plane registration (Gauss-Newton, degeneracy handling)
+- keyframe pose graph with odometry / GPS / loop factors
+- IMU preintegration with online bias estimation
+- loop closure (radius search + Scan Context) with submap ICP
+- GPS/ENU fusion with a positioning-health state machine
+- map products: global map export, rolling local map, 2.5D height map
+
+Design stance (vs the reference's 4-process ROS pipeline):
+- one SPMD JAX program per scan step; fixed-shape masked tensors
+- voxel-bucket / tiled-matmul correspondence search instead of kd-trees
+- batched Gauss-Newton pose-graph solver instead of GTSAM iSAM2
+- `lax.scan` IMU preintegration; error-state fusion for the IMU front-end
+- keyframe / map state shardable over a `jax.sharding.Mesh`
+"""
+
+__version__ = "0.1.0"
+
+from lio_slam_tpu import config as config  # noqa: F401

@@ -1,0 +1,295 @@
+"""Typed configuration tree for the SLAM engine.
+
+TPU-native replacement for the reference's `ParamServer` (~90 rosparams loaded
+in `src/liorf/include/utility.h:72-367`) plus the per-dataset YAML presets
+(`src/liorf/config/*.yaml`).  One frozen dataclass tree; presets are factory
+functions; everything that shapes a compiled program (tensor capacities, grid
+sizes) lives in `StaticConfig` so a config change maps 1:1 to a recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+
+class SensorType:
+    """Lidar vendor families (utility.h:70 `enum class SensorType`)."""
+
+    VELODYNE = "velodyne"
+    OUSTER = "ouster"
+    LIVOX = "livox"
+    ROBOSENSE = "robosense"
+    MULRAN = "mulran"
+
+
+@dataclass(frozen=True)
+class StaticConfig:
+    """Capacities and shapes baked into compiled programs.
+
+    The reference uses dynamic PCL clouds and growing GTSAM graphs; on TPU every
+    one of those becomes a fixed-capacity masked tensor.  Changing any field
+    here triggers recompilation — keep them coarse so recompiles are rare.
+    """
+
+    max_raw_points: int = 65536       # points per raw scan (padded/masked)
+    max_scan_points: int = 16384      # after decimation/downsample, fed to registration
+    max_map_points: int = 131072      # assembled local map capacity
+    max_imu_window: int = 512         # IMU samples per scan window (ref: 2000-slot rot table)
+    imu_rot_table: int = 256          # deskew rotation lookup table slots
+    max_keyframes: int = 2048         # keyframe store capacity
+    max_keyframe_points: int = 8192   # stored (downsampled) points per keyframe
+    max_gps_queue: int = 64           # buffered GPS fixes per mapping step
+    max_loop_queue: int = 16          # pending loop constraints
+    knn: int = 5                      # plane-fit neighbourhood (mapOptmization.cpp:1631)
+    sc_num_ring: int = 20             # Scan Context rings (Scancontext.h PC_NUM_RING)
+    sc_num_sector: int = 60           # Scan Context sectors
+    sc_candidates: int = 3            # retrieval candidates (NUM_CANDIDATES_FROM_TREE)
+    icp_submap_points: int = 32768    # loop-closure submap capacity
+    window_size: int = 64             # sliding-window GN size for incremental solve
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Sensor geometry + input filtering (utility.h:243-287)."""
+
+    sensor: str = SensorType.VELODYNE
+    n_scan: int = 16                  # N_SCAN rings
+    horizon_scan: int = 1800          # Horizon_SCAN azimuth bins
+    downsample_rate: int = 1          # keep every k-th ring (imageProjection downsampleRate)
+    point_filter_num: int = 3         # keep 1-in-k points (point_filter_num)
+    lidar_min_range: float = 1.5      # meters (ref lidarMinRange)
+    lidar_max_range: float = 1000.0
+    # Self-crop box in sensor frame (imageProjection.cpp box filter)
+    crop_box_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    crop_box_max: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    min_intensity: float = 0.0        # intensity gate (ref filters I<1 on some rigs)
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise/extrinsics (utility.h:289-331; config yaml imu* block)."""
+
+    imu_type: int = 1                 # 0: 6-axis, 1: 9-axis (has RPY)
+    imu_rate: float = 500.0
+    acc_noise: float = 3.9939570888238808e-03
+    gyr_noise: float = 1.5636343949698187e-03
+    acc_bias_noise: float = 6.4356659353532566e-05
+    gyr_bias_noise: float = 3.5640318696367613e-05
+    gravity: float = 9.80511
+    imu_rpy_weight: float = 0.01      # roll/pitch slerp weight in transformUpdate
+    # extrinsics: lidar <- imu  (extrinsicRot rotates IMU into lidar frame)
+    ext_rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)    # 3x3 row-major, gyro/acc
+    ext_rpy: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)    # 3x3 row-major, orientation
+    ext_trans: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    """Scan-to-map GN parameters (mapOptmization.cpp:1618-1897)."""
+
+    mapping_surf_leaf_size: float = 0.4   # voxel DS leaf for scan + map
+    surrounding_leaf_size: float = 0.5    # keypose voxel DS (surroundingKeyframeDensity)
+    surrounding_radius: float = 50.0      # local-map keyframe radius (m)
+    recent_window_sec: float = 10.0       # also include keyframes of the last N seconds
+    max_iterations: int = 30              # LM iteration cap (:1848)
+    rot_converge: float = 0.05            # deg  (:1851)
+    trans_converge: float = 0.05          # cm   (:1852)
+    plane_dist_thresh: float = 0.2        # plane validity gate (:1658)
+    robust_weight_floor: float = 0.1      # keep correspondences with s > 0.1 (:1678)
+    degeneracy_eig_thresh: float = 100.0  # eigenvalue gate (:1795)
+    nn_radius: float = 1.0                # 5-NN max distance (kd-tree radius semantics)
+    min_surf_points: int = 30             # skip registration below this (:1841)
+    z_tolerance: float = 1000.0           # |z| clamp (transformUpdate :1890)
+    rotation_tolerance: float = 1000.0    # |roll|,|pitch| clamp
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe gating + factor noise (mapOptmization.cpp:1909-2041)."""
+
+    angle_threshold: float = 0.2          # rad (surroundingkeyframeAddingAngleThreshold)
+    dist_threshold: float = 1.0           # m
+    # prior factor sigmas^2 for the first pose (:1933)
+    prior_sigmas: Tuple[float, ...] = (1e-2, 1e-2, np.pi * np.pi, 1e8, 1e8, 1e8)
+    # between factor sigmas^2 (:1939)  order: rot(3) then trans(3) a la gtsam Pose3
+    odom_sigmas: Tuple[float, ...] = (1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4)
+
+
+@dataclass(frozen=True)
+class GpsConfig:
+    """GPS fusion gates + health FSM (mapOptmization.cpp:616-839, 1946-2041)."""
+
+    use_gps: bool = False
+    use_gps_elevation: bool = False
+    gps_cov_threshold: float = 2.0
+    pose_cov_threshold: float = 25.0
+    gps_distance_frequency: float = 5.0   # min meters between GPS factors
+    gps_time_window: float = 0.2          # pair GPS to scan within ±0.2 s
+    min_travel_before_gps: float = 5.0    # keyframes must span >5 m first
+    first_fix_average: int = 5            # average first N fixes for datum
+    gps_waiting_time: float = 5.0         # FSM converge timers (gpsWaitingTimeThreshold)
+    gps_data_waiting_time: float = 2.0
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop closure (mapOptmization.cpp:1054-1436, Scancontext.cpp)."""
+
+    enabled: bool = True
+    frequency: float = 1.0                # loop thread rate (Hz)
+    search_radius: float = 15.0           # RS kd-tree radius (historyKeyframeSearchRadius)
+    time_diff: float = 30.0               # min seconds between loop pair
+    search_num: int = 25                  # ±25 keyframes in submap
+    fitness_score: float = 0.3            # ICP acceptance gate
+    icp_max_corr_dist: float = 30.0
+    icp_iterations: int = 100
+    sc_max_radius: float = 80.0           # Scan Context max radius
+    sc_lidar_height: float = 2.0          # ring z offset (LIDAR_HEIGHT)
+    sc_dist_thresh: float = 0.3           # SC_DIST_THRES
+    sc_exclude_recent: int = 30           # NUM_EXCLUDE_RECENT
+    sc_search_ratio: float = 0.1          # ±10% column-shift search
+    sc_tree_refresh: int = 10             # rebuild retrieval index every N inserts
+
+
+@dataclass(frozen=True)
+class OutputConfig:
+    """Map products (mapOptmization.cpp:918-971, 2442-2552; grid_map_pcl)."""
+
+    global_map_leaf_size: float = 0.4
+    local_map_keyframes: int = 50         # last-N keyframes for planning map
+    local_map_box: Tuple[float, float] = (40.0, 40.0)   # yaw-aligned crop half-extent
+    sor_mean_k: int = 5                   # statistical outlier removal
+    sor_stddev: float = 1.0
+    heightmap_resolution: float = 0.2     # grid_map_pcl parameters.yaml resolution
+    heightmap_size: Tuple[int, int] = (512, 512)
+    save_pcd: bool = False
+    save_directory: str = "/tmp/lio_slam_tpu_maps"
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout (replaces the reference's 4-process + OpenMP layout)."""
+
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    points_axis: str = "data"             # scan points sharded over this axis
+    map_axis: str = "data"                # map points sharded over this axis
+
+
+@dataclass(frozen=True)
+class Config:
+    static: StaticConfig = field(default_factory=StaticConfig)
+    lidar: LidarConfig = field(default_factory=LidarConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    registration: RegistrationConfig = field(default_factory=RegistrationConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    gps: GpsConfig = field(default_factory=GpsConfig)
+    loop: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    mapping_process_interval: float = 0.0  # throttle (config yaml mappingProcessInterval)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring src/liorf/config/*.yaml
+# ---------------------------------------------------------------------------
+
+def default_config() -> Config:
+    """lio_sam_default.yaml — VLP-16, 9-axis IMU, identity extrinsics."""
+    return Config()
+
+
+def preset_6t() -> Config:
+    """config/6t.yaml — 80-beam lidar via /velodyne_points, 50 Hz 9-axis IMU,
+    GPS fusion on, non-identity extrinsic rotation."""
+    return Config(
+        lidar=LidarConfig(
+            sensor=SensorType.VELODYNE, n_scan=80, horizon_scan=1800,
+            downsample_rate=1, point_filter_num=3,
+            lidar_min_range=1.5, lidar_max_range=120.0,
+        ),
+        imu=ImuConfig(
+            imu_type=1, imu_rate=50.0, gravity=9.80511,
+            ext_rot=(-1, 0, 0, 0, -1, 0, 0, 0, 1),
+            ext_rpy=(-1, 0, 0, 0, -1, 0, 0, 0, 1),
+        ),
+        gps=GpsConfig(use_gps=True, gps_cov_threshold=2.0),
+        loop=LoopClosureConfig(enabled=True, frequency=0.2),
+    )
+
+
+def preset_kitti() -> Config:
+    """config/lio_sam_kitti.yaml — HDL-64, no GPS factors."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=64,
+                          horizon_scan=1800, lidar_max_range=120.0),
+        imu=ImuConfig(imu_type=1, imu_rate=100.0),
+    )
+
+
+def preset_ouster() -> Config:
+    """config/lio_sam_ouster.yaml — OS1-128."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.OUSTER, n_scan=128,
+                          horizon_scan=1024, lidar_max_range=100.0),
+    )
+
+
+def preset_livox() -> Config:
+    """config/lio_sam_livox.yaml — Livox Horizon (6 'rings')."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.LIVOX, n_scan=6,
+                          horizon_scan=4000, lidar_max_range=100.0),
+    )
+
+
+def preset_mulran() -> Config:
+    """config/mulran.yaml — OS1-64 with per-scan absolute timestamps."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.MULRAN, n_scan=64,
+                          horizon_scan=1024, lidar_max_range=100.0),
+        imu=ImuConfig(imu_type=0, imu_rate=100.0),
+    )
+
+
+def preset_m2dgr() -> Config:
+    """config/M2DGR.yaml — VLP-32."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=32,
+                          horizon_scan=1800, lidar_max_range=100.0),
+    )
+
+
+def preset_urban_hongkong() -> Config:
+    """config/urban_hongkong.yaml — HDL-32."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=32,
+                          horizon_scan=1800, lidar_max_range=100.0),
+        gps=GpsConfig(use_gps=True),
+    )
+
+
+PRESETS = {
+    "default": default_config,
+    "6t": preset_6t,
+    "kitti": preset_kitti,
+    "ouster": preset_ouster,
+    "livox": preset_livox,
+    "mulran": preset_mulran,
+    "m2dgr": preset_m2dgr,
+    "urban_hongkong": preset_urban_hongkong,
+}
+
+
+def get_config(name: str = "default") -> Config:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

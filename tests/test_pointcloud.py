@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lio_slam_tpu.utils import pointcloud as pc
+
+
+def test_pad_and_compact():
+    xyz = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+    c = pc.pad_cloud(xyz, 256)
+    assert c.capacity == 256
+    assert int(c.count()) == 100
+    # knock out every other point, compact
+    mask = c.mask & (jnp.arange(256) % 2 == 0)
+    c2 = pc.compact(c._replace(mask=mask))
+    assert int(c2.count()) == 50
+    assert bool(jnp.all(c2.mask[:50])) and bool(jnp.all(~c2.mask[50:]))
+
+
+def test_filter_range_and_box():
+    xyz = jnp.array([
+        [0.1, 0.0, 0.0],    # inside crop box + below min range -> drop
+        [5.0, 0.0, 0.0],    # keep
+        [2000.0, 0.0, 0.0], # beyond max range -> drop
+        [0.5, 0.5, 0.5],    # inside crop box -> drop
+    ])
+    c = pc.make_cloud(xyz)
+    out = pc.filter_points(c, min_range=1.5, max_range=1000.0,
+                           crop_min=(-1, -1, -1), crop_max=(1, 1, 1))
+    np.testing.assert_array_equal(out.mask, [False, True, False, False])
+
+
+def test_decimate():
+    c = pc.make_cloud(jnp.ones((12, 3)))
+    out = pc.decimate(c, point_filter_num=3)
+    assert int(out.count()) == 4
+
+
+def test_voxel_downsample_merges_points():
+    # two clusters of 50 points each within a 0.1-leaf voxel, 10 m apart
+    rs = np.random.RandomState(1)
+    a = rs.rand(50, 3).astype(np.float32) * 0.05
+    b = rs.rand(50, 3).astype(np.float32) * 0.05 + 10.0
+    c = pc.pad_cloud(np.concatenate([a, b]), 128)
+    out = pc.voxel_downsample(c, leaf_size=1.0, max_out=16)
+    assert int(out.count()) == 2
+    cents = np.sort(np.asarray(out.xyz[out.mask][:, 0]))
+    np.testing.assert_allclose(cents, [a[:, 0].mean(), b[:, 0].mean()], atol=1e-5)
+
+
+def test_voxel_downsample_jit_static_shape():
+    f = jax.jit(lambda c: pc.voxel_downsample(c, 0.4, 64))
+    xyz = np.random.RandomState(2).randn(200, 3).astype(np.float32) * 5
+    out = f(pc.pad_cloud(xyz, 256))
+    assert out.xyz.shape == (64, 3)
+    assert int(out.count()) > 10
+
+
+def test_voxel_downsample_ignores_masked():
+    xyz = jnp.concatenate([jnp.zeros((4, 3)), jnp.full((4, 3), 100.0)])
+    mask = jnp.array([True] * 4 + [False] * 4)
+    out = pc.voxel_downsample(pc.make_cloud(xyz, mask), 0.5, 8)
+    assert int(out.count()) == 1
+    np.testing.assert_allclose(out.xyz[0], jnp.zeros(3), atol=1e-6)
+
+
+def test_merge_clouds():
+    a = pc.pad_cloud(jnp.ones((10, 3)), 16)
+    b = pc.pad_cloud(jnp.full((20, 3), 2.0), 32)
+    m = pc.merge_clouds(a, b, 64)
+    assert int(m.count()) == 30
+
+
+def test_random_downsample():
+    c = pc.pad_cloud(np.arange(300).reshape(100, 3).astype(np.float32), 128)
+    out = pc.random_downsample(c, 32)
+    # stride = ceil(100/32) = 4 -> 25 valid points
+    assert int(out.count()) == 25
