@@ -21,4 +21,13 @@ Design stance (vs the reference's 4-process ROS pipeline):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bfloat16 accumulation, which is catastrophic for
+# geometry (meter-scale coordinates need ~1e-6 relative precision: a 512-step
+# rotation chain drifts ~20% and the GN normal equations go NaN).  SLAM math
+# runs in float32 end-to-end; kernels that can safely use bf16 (none of the
+# geometric ones) opt in explicitly via `precision=` at the call site.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from lio_slam_tpu import config as config  # noqa: F401

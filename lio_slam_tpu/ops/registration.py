@@ -1,0 +1,218 @@
+"""Scan-to-map point-to-plane registration (Gauss-Newton with degeneracy gate).
+
+TPU-native rebuild of the reference's hot loop
+(`src/liorf/src/mapOptmization.cpp:1618-1897`):
+
+- `surfOptimization` (:1618-1687): per scan point, 5-NN into the local map,
+  plane fit by least squares (A·n = -1), plane validity (all 5 within 0.2 m),
+  robust weight s = 1 − 0.9·|pd2| / sqrt(sqrt(range)), keep if s > 0.1.
+- `LMOptimization` (:1702-1837): 6-dof GN step in [roll,pitch,yaw,x,y,z];
+  normal equations JᵀWJ dx = −JᵀWf with W = s²; on the first iteration an
+  eigendecomposition of JᵀWJ gates degenerate directions (eigenvalue < 100)
+  and later updates are projected through P = V·diag(keep)·Vᵀ; convergence at
+  |Δrot| < 0.05 deg and |Δtrans| < 0.05 cm; max 30 iterations.
+- `transformUpdate` (:1867-1897): slerp roll/pitch toward the IMU attitude
+  with weight imuRPYWeight, then clamp roll/pitch/z to tolerances.
+
+Instead of the reference's per-point OpenMP loop + transcribed Euler-derivative
+expressions, the whole scan is one batched pipeline: MXU matmul k-NN
+(`ops/knn.py`), batched 3x3 plane solves, rotation Jacobian via `jax.jacfwd`
+of the Euler parameterization (exact, no hand-derived trig), masked
+reductions into the 6x6 normal equations, and a `lax.while_loop` over GN
+iterations so early convergence skips work under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lio_slam_tpu.config import RegistrationConfig
+from lio_slam_tpu.ops import knn as knn_mod
+from lio_slam_tpu.utils import se3
+
+
+class Correspondences(NamedTuple):
+    normal: jax.Array    # (N, 3) plane normals (map frame, unit)
+    offset: jax.Array    # (N,)   plane offsets d (n·x + d = 0)
+    residual: jax.Array  # (N,)   signed point-to-plane distance pd2
+    weight: jax.Array    # (N,)   robust weight s
+    valid: jax.Array     # (N,)   bool — survived all gates
+
+
+class RegistrationResult(NamedTuple):
+    pose: jax.Array        # (6,) refined [roll,pitch,yaw,x,y,z]
+    degenerate: jax.Array  # () bool — eigenvalue gate fired
+    converged: jax.Array   # () bool
+    iterations: jax.Array  # () int32
+    num_inliers: jax.Array # () int32 — correspondences in last iteration
+    mean_residual: jax.Array  # () weighted mean |pd2| of last iteration
+
+
+def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
+               plane_dist_thresh: float):
+    """Least-squares plane through k neighbours: solve A·n = -1.
+
+    neighbors: (N, k, 3); returns unit normals (N,3), offsets (N,), valid (N,).
+    Mirrors surfOptimization's matA0/matB0 solve + 0.2 m validity gate.
+    """
+    k = neighbors.shape[1]
+    A = neighbors                                       # (N, k, 3)
+    AtA = jnp.einsum("nki,nkj->nij", A, A)              # (N, 3, 3)
+    Atb = -jnp.sum(A, axis=1)                           # (N, 3)  (b = -1)
+    # regularize to keep solve finite for rank-deficient neighbourhoods; the
+    # validity gate below rejects those fits anyway
+    AtA = AtA + jnp.eye(3, dtype=A.dtype) * 1e-6
+    n_raw = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    safe = norm[..., 0] > 1e-6
+    normal = n_raw / jnp.maximum(norm, 1e-6)
+    offset = 1.0 / jnp.maximum(norm[..., 0], 1e-6)      # pd = 1/|n_raw|
+    # plane validity: every neighbour within thresh of the plane
+    dist = jnp.abs(jnp.einsum("nki,ni->nk", A, normal) + offset[:, None])
+    plane_ok = jnp.all(jnp.where(neighbor_valid, dist, 0.0) <= plane_dist_thresh, axis=1)
+    all_neighbors = jnp.all(neighbor_valid, axis=1) & (jnp.sum(neighbor_valid, axis=1) == k)
+    valid = safe & plane_ok & all_neighbors
+    return normal, offset, valid
+
+
+def find_correspondences(scan: jax.Array, scan_mask: jax.Array,
+                         map_pts: jax.Array, map_mask: jax.Array,
+                         pose6: jax.Array, cfg: RegistrationConfig,
+                         k: int = 5) -> Correspondences:
+    """One surfOptimization pass at the given pose."""
+    R, t = se3.pose6_to_Rt(pose6)
+    scan_w = se3.transform_points(R, t, scan)           # pointAssociateToMap
+    nn = knn_mod.knn(scan_w, scan_mask, map_pts, map_mask, k=k)
+    # kd-tree gate: 5th neighbour within nn_radius (pointSearchSqDis[4] < 1.0)
+    nn_ok = nn.valid[:, k - 1] & (nn.dist2[:, k - 1] < cfg.nn_radius ** 2)
+    neighbors = map_pts[nn.idx]                          # (N, k, 3)
+    normal, offset, plane_ok = fit_planes(neighbors, nn.valid, cfg.plane_dist_thresh)
+    pd2 = jnp.einsum("ni,ni->n", normal, scan_w) + offset
+    rng = jnp.linalg.norm(scan, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))
+    valid = scan_mask & nn_ok & plane_ok & (s > cfg.robust_weight_floor)
+    return Correspondences(normal=normal, offset=offset, residual=pd2,
+                           weight=jnp.where(valid, s, 0.0), valid=valid)
+
+
+def _normal_equations(scan: jax.Array, corr: Correspondences, pose6: jax.Array):
+    """Build the 6x6 GN system in [roll,pitch,yaw,x,y,z] order.
+
+    Row i: s_i · [ n·(∂R/∂θ_k p), n ],  rhs: −s_i · pd2_i  (LMOptimization's
+    matA/matB with coeff = s·n already folded in)."""
+    rpy = pose6[:3]
+    dR = jax.jacfwd(se3.rpy_to_matrix)(rpy)             # (3, 3, 3): [i,j,k]=dR_ij/dθ_k
+    # J_rot[n, k] = normal_n · (dR[:,:,k] @ p_n)
+    Jrot = jnp.einsum("ni,ijk,nj->nk", corr.normal, dR, scan)
+    J = jnp.concatenate([Jrot, corr.normal], axis=1)    # (N, 6)
+    w = corr.weight * corr.weight
+    AtA = jnp.einsum("ni,n,nj->ij", J, w, J)
+    Atb = -jnp.einsum("ni,n,n->i", J, w, corr.residual)
+    return AtA, Atb
+
+
+def _degeneracy_projection(AtA: jax.Array, eig_thresh: float):
+    """matP from LMOptimization (:1786-1814): zero the eigen-directions with
+    eigenvalue < thresh; P = V diag(keep) Vᵀ."""
+    eigval, eigvec = jnp.linalg.eigh(AtA)               # ascending
+    keep = (eigval >= eig_thresh).astype(AtA.dtype)
+    P = (eigvec * keep[None, :]) @ eigvec.T
+    degenerate = jnp.any(eigval < eig_thresh)
+    return P, degenerate
+
+
+class _LoopState(NamedTuple):
+    pose: jax.Array
+    P: jax.Array
+    degenerate: jax.Array
+    it: jax.Array
+    converged: jax.Array
+    num_inliers: jax.Array
+    mean_residual: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
+def register(scan: jax.Array, scan_mask: jax.Array,
+             map_pts: jax.Array, map_mask: jax.Array,
+             init_pose6: jax.Array, cfg: RegistrationConfig,
+             min_correspondences: int = 50) -> RegistrationResult:
+    """Full scan2MapOptimization: iterate correspondence + GN to convergence.
+
+    Skips (returns the initial pose) when the scan or map is too small, like
+    the reference's `laserCloudSurfLastDSNum > 30` gate (:1841) and
+    `laserCloudSelNum < 50` gate (:1724).
+    """
+    scan = scan.astype(jnp.float32)
+    map_pts = map_pts.astype(jnp.float32)
+
+    def cond(st: _LoopState):
+        return (st.it < cfg.max_iterations) & ~st.converged
+
+    def body(st: _LoopState):
+        corr = find_correspondences(scan, scan_mask, map_pts, map_mask,
+                                    st.pose, cfg)
+        n_inl = jnp.sum(corr.valid.astype(jnp.int32))
+        AtA, Atb = _normal_equations(scan, corr, st.pose)
+        # Levenberg damping epsilon keeps the solve finite when rank-deficient;
+        # the degeneracy projection handles the semantics.
+        dx = jnp.linalg.solve(AtA + jnp.eye(6, dtype=AtA.dtype) * 1e-6, Atb)
+
+        P, degen = _degeneracy_projection(AtA, cfg.degeneracy_eig_thresh)
+        P = jnp.where(st.it == 0, P, st.P)
+        degen = jnp.where(st.it == 0, degen, st.degenerate)
+        dx = jnp.where(degen, P @ dx, dx)
+
+        enough = n_inl >= min_correspondences
+        dx = jnp.where(enough, dx, jnp.zeros_like(dx))
+        pose = st.pose + dx
+
+        delta_r_deg = jnp.linalg.norm(dx[:3]) * (180.0 / jnp.pi)
+        delta_t_cm = jnp.linalg.norm(dx[3:]) * 100.0
+        conv = ((delta_r_deg < cfg.rot_converge) & (delta_t_cm < cfg.trans_converge)) | ~enough
+        wsum = jnp.maximum(jnp.sum(corr.weight), 1e-6)
+        mean_res = jnp.sum(corr.weight * jnp.abs(corr.residual)) / wsum
+        return _LoopState(pose=pose, P=P, degenerate=degen, it=st.it + 1,
+                          converged=conv, num_inliers=n_inl,
+                          mean_residual=mean_res)
+
+    n_scan = jnp.sum(scan_mask.astype(jnp.int32))
+    n_map = jnp.sum(map_mask.astype(jnp.int32))
+    runnable = (n_scan > 30) & (n_map > 50)
+
+    init = _LoopState(pose=init_pose6.astype(jnp.float32),
+                      P=jnp.eye(6, dtype=jnp.float32),
+                      degenerate=jnp.zeros((), bool),
+                      it=jnp.zeros((), jnp.int32),
+                      converged=~runnable,
+                      num_inliers=jnp.zeros((), jnp.int32),
+                      mean_residual=jnp.zeros(()))
+    st = jax.lax.while_loop(cond, body, init)
+    return RegistrationResult(pose=st.pose, degenerate=st.degenerate,
+                              converged=st.converged, iterations=st.it,
+                              num_inliers=st.num_inliers,
+                              mean_residual=st.mean_residual)
+
+
+def transform_update(pose6: jax.Array, imu_rpy: jax.Array,
+                     imu_available: jax.Array, imu_rpy_weight: float,
+                     rotation_tolerance: float = 1000.0,
+                     z_tolerance: float = 1000.0) -> jax.Array:
+    """Blend roll/pitch toward the IMU attitude and clamp (transformUpdate,
+    mapOptmization.cpp:1867-1897).  Uses the same per-angle quaternion slerp
+    the reference performs via tf::Quaternion."""
+    def blend(angle, target):
+        q0 = se3.matrix_to_quat(se3.rpy_to_matrix(jnp.array([angle, 0.0, 0.0])))
+        q1 = se3.matrix_to_quat(se3.rpy_to_matrix(jnp.array([target, 0.0, 0.0])))
+        q = se3.slerp(q0, q1, imu_rpy_weight)
+        return se3.matrix_to_rpy(se3.quat_to_matrix(q))[0]
+
+    roll = jnp.where(imu_available, blend(pose6[0], imu_rpy[0]), pose6[0])
+    pitch = jnp.where(imu_available, blend(pose6[1], imu_rpy[1]), pose6[1])
+    roll = jnp.clip(roll, -rotation_tolerance, rotation_tolerance)
+    pitch = jnp.clip(pitch, -rotation_tolerance, rotation_tolerance)
+    z = jnp.clip(pose6[5], -z_tolerance, z_tolerance)
+    return pose6.at[0].set(roll).at[1].set(pitch).at[5].set(z)

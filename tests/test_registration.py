@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lio_slam_tpu.config import RegistrationConfig
+from lio_slam_tpu.ops import registration as reg
+from lio_slam_tpu.utils import se3
+
+
+CFG = RegistrationConfig()
+# The reference's eigenvalue threshold (100) is tuned for real scans with
+# O(10k) correspondences; the synthetic fixtures here have O(1k), so the
+# smallest (yaw-ish) eigenvalue sits near the gate. Use a lower threshold for
+# the pose-recovery tests and the default for the explicit degeneracy test.
+CFG_WELL_POSED = RegistrationConfig(degeneracy_eig_thresh=10.0)
+
+
+def make_world(n_per_plane=800, seed=0):
+    """Synthetic structured world: ground + two walls + a sloped roof patch."""
+    rs = np.random.RandomState(seed)
+    u = lambda n, lo, hi: rs.uniform(lo, hi, n).astype(np.float32)
+    ground = np.stack([u(n_per_plane, -20, 20), u(n_per_plane, -20, 20),
+                       np.zeros(n_per_plane, np.float32)], 1)
+    wall_x = np.stack([np.full(n_per_plane, 15.0, np.float32),
+                       u(n_per_plane, -20, 20), u(n_per_plane, 0, 6)], 1)
+    wall_y = np.stack([u(n_per_plane, -20, 20),
+                       np.full(n_per_plane, -12.0, np.float32),
+                       u(n_per_plane, 0, 6)], 1)
+    xs = u(n_per_plane, -5, 5)
+    roof = np.stack([xs, u(n_per_plane, 5, 15), 4.0 + 0.3 * xs], 1)
+    world = np.concatenate([ground, wall_x, wall_y, roof])
+    world += rs.randn(*world.shape).astype(np.float32) * 0.005
+    return world
+
+
+def as_masked(arr, capacity):
+    n = arr.shape[0]
+    out = np.zeros((capacity, 3), np.float32)
+    out[:n] = arr
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+class TestPlaneFit:
+    def test_exact_plane(self):
+        rs = np.random.RandomState(0)
+        pts = np.stack([rs.rand(5), rs.rand(5), np.full(5, 2.0)], 1).astype(np.float32)
+        normal, offset, valid = reg.fit_planes(jnp.asarray(pts[None]),
+                                               jnp.ones((1, 5), bool), 0.2)
+        n = np.asarray(normal[0])
+        np.testing.assert_allclose(np.abs(n[2]), 1.0, atol=1e-4)
+        # plane z=2: n=(0,0,-1/2)/|..| -> n·x + d = 0 at z=2
+        np.testing.assert_allclose(n[2] * 2.0 + np.asarray(offset[0]), 0.0, atol=1e-4)
+        assert bool(valid[0])
+
+    def test_nonplanar_rejected(self):
+        rs = np.random.RandomState(1)
+        pts = rs.randn(1, 5, 3).astype(np.float32) * 2.0
+        _, _, valid = reg.fit_planes(jnp.asarray(pts), jnp.ones((1, 5), bool), 0.2)
+        assert not bool(valid[0])
+
+
+class TestRegister:
+    def setup_method(self):
+        world = make_world()
+        self.map_pts, self.map_mask = as_masked(world, 4096)
+        # scan: subsample of the world observed from the true pose
+        rs = np.random.RandomState(42)
+        sel = rs.choice(world.shape[0], 1500, replace=False)
+        self.true_pose = jnp.array([0.02, -0.015, 0.3, 1.5, -0.8, 0.25])
+        R, t = se3.pose6_to_Rt(self.true_pose)
+        Rinv, tinv = se3.inverse(R, t)
+        scan_body = se3.transform_points(Rinv, tinv, jnp.asarray(world[sel]))
+        self.scan, self.scan_mask = as_masked(np.asarray(scan_body), 2048)
+
+    def test_recovers_pose(self):
+        init = self.true_pose + jnp.array([0.03, 0.02, -0.05, 0.4, -0.3, 0.1])
+        res = reg.register(self.scan, self.scan_mask, self.map_pts,
+                           self.map_mask, init, CFG_WELL_POSED)
+        err = np.asarray(res.pose - self.true_pose)
+        assert np.abs(err[:3]).max() < 0.005, err
+        assert np.abs(err[3:]).max() < 0.02, err
+        assert not bool(res.degenerate)
+        assert bool(res.converged)
+        assert int(res.num_inliers) > 500
+
+    def test_perfect_init_stays(self):
+        res = reg.register(self.scan, self.scan_mask, self.map_pts,
+                           self.map_mask, self.true_pose, CFG_WELL_POSED)
+        err = np.asarray(res.pose - self.true_pose)
+        assert np.abs(err).max() < 0.02
+        assert int(res.iterations) <= 4
+
+    def test_degenerate_single_plane(self):
+        """Ground-only world: x/y/yaw unobservable -> degeneracy gate fires
+        and the projected update leaves those directions untouched."""
+        rs = np.random.RandomState(3)
+        ground = np.stack([rs.uniform(-20, 20, 2000), rs.uniform(-20, 20, 2000),
+                           rs.randn(2000) * 0.005], 1).astype(np.float32)
+        map_pts, map_mask = as_masked(ground, 2048)
+        scan, scan_mask = as_masked(ground[rs.choice(2000, 800, replace=False)], 1024)
+        init = jnp.array([0.0, 0.0, 0.1, 0.5, 0.5, 0.3])  # offset incl. z
+        res = reg.register(scan, scan_mask, map_pts, map_mask, init, CFG)
+        assert bool(res.degenerate)
+        pose = np.asarray(res.pose)
+        # z should be corrected toward 0; x/y/yaw should stay near the init
+        assert abs(pose[5]) < 0.05
+        np.testing.assert_allclose(pose[[2, 3, 4]], [0.1, 0.5, 0.5], atol=0.05)
+
+    def test_too_few_points_skips(self):
+        scan = jnp.zeros((64, 3))
+        res = reg.register(scan, jnp.zeros(64, bool), self.map_pts,
+                           self.map_mask, jnp.zeros(6), CFG)
+        np.testing.assert_allclose(np.asarray(res.pose), 0.0)
+        assert int(res.iterations) == 0
+
+
+def test_transform_update_blends_toward_imu():
+    pose = jnp.array([0.2, -0.1, 1.0, 1.0, 2.0, 3.0])
+    imu_rpy = jnp.array([0.0, 0.0, 0.0])
+    out = reg.transform_update(pose, imu_rpy, jnp.array(True), imu_rpy_weight=0.5)
+    np.testing.assert_allclose(out[0], 0.1, atol=1e-3)
+    np.testing.assert_allclose(out[1], -0.05, atol=1e-3)
+    np.testing.assert_allclose(out[2:], pose[2:], atol=1e-6)
+    # unavailable IMU -> unchanged
+    out2 = reg.transform_update(pose, imu_rpy, jnp.array(False), 0.5)
+    np.testing.assert_allclose(out2, pose, atol=1e-6)
+
+
+def test_transform_update_z_tolerance():
+    pose = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 50.0])
+    out = reg.transform_update(pose, jnp.zeros(3), jnp.array(False), 0.01,
+                               z_tolerance=10.0)
+    np.testing.assert_allclose(out[5], 10.0)
