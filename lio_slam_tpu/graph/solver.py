@@ -1,0 +1,163 @@
+"""Batched Gauss-Newton pose-graph solver.
+
+TPU-native replacement for GTSAM iSAM2 as the reference uses it
+(`src/liorf/src/mapOptmization.cpp:247-251, 2082-2092` and
+`imuPreintegration.cpp`): dense block assembly of the normal equations on the
+MXU + Cholesky solve, instead of incremental Bayes-tree updates (pointer
+chasing, hostile to XLA).  Incremental-smoothing behavior is reproduced at the
+call policy level: 2 GN iterations per new keyframe, extra iterations after
+loop/GPS factors (the reference's `update()` x2 + x5 pattern), and marginal
+covariances read from the same factorization (used for GPS gating via
+poseCovariance(3,3)/(4,4), :2128-2133).
+
+The solver is generic over which poses are free: `active_mask` selects the
+sliding window (cheap per-scan solve) or the full graph (loop correction =
+`correctPoses`, :2173-2204).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lio_slam_tpu.graph import factors as F
+from lio_slam_tpu.utils import se3
+
+
+class SolveResult(NamedTuple):
+    graph: F.PoseGraph
+    delta_norm: jax.Array   # () last-iteration update norm
+    chi2: jax.Array         # () weighted squared error after solve
+
+
+def _weighted_block(J: jax.Array, info: jax.Array) -> jax.Array:
+    """J^T diag(info) J for a batch of factor Jacobians."""
+    return jnp.einsum("...ri,...r,...rj->...ij", J, info, J)
+
+
+def linearize_full(graph: F.PoseGraph, active_mask: jax.Array):
+    """Assemble dense normal equations H (K6,K6), b (K6,) over active poses."""
+    K = graph.poses.shape[0]
+    dtype = graph.poses.dtype
+    H = jnp.zeros((K, K, 6, 6), dtype)
+    b = jnp.zeros((K, 6), dtype)
+
+    # prior on pose 0
+    e0, J0 = F.linearize_prior(graph)
+    w0 = graph.prior_info
+    H = H.at[0, 0].add(_weighted_block(J0, w0))
+    b = b.at[0].add(-J0.T @ (w0 * e0))
+
+    # between factors
+    eb, Ji, Jj = F.linearize_between(graph)
+    wb = graph.bt_info * graph.bt_mask[:, None]
+    bi, bj = graph.bt_i, graph.bt_j
+    H = H.at[bi, bi].add(_weighted_block(Ji, wb))
+    H = H.at[bj, bj].add(_weighted_block(Jj, wb))
+    Hij = jnp.einsum("bri,br,brj->bij", Ji, wb, Jj)
+    H = H.at[bi, bj].add(Hij)
+    H = H.at[bj, bi].add(jnp.swapaxes(Hij, -1, -2))
+    b = b.at[bi].add(-jnp.einsum("bri,br,br->bi", Ji, wb, eb))
+    b = b.at[bj].add(-jnp.einsum("bri,br,br->bi", Jj, wb, eb))
+
+    # gps factors
+    eg, Jg = F.linearize_gps(graph)
+    wg = graph.gps_info * graph.gps_mask[:, None]
+    gi = graph.gps_i
+    H = H.at[gi, gi].add(_weighted_block(Jg, wg))
+    b = b.at[gi].add(-jnp.einsum("gri,gr,gr->gi", Jg, wg, eg))
+
+    # mask: zero rows/cols of inactive poses, identity diag so H stays SPD
+    act = (active_mask & graph.pose_mask).astype(dtype)
+    H = H * act[:, None, None, None] * act[None, :, None, None]
+    eye6 = jnp.eye(6, dtype=dtype)
+    H = H + jnp.einsum("k,ij->kij", 1.0 - act, eye6)[:, None] * \
+        jnp.eye(K, dtype=dtype)[:, :, None, None]
+    # damping for SPD robustness
+    H = H + (jnp.eye(K, dtype=dtype)[:, :, None, None] * eye6) * 1e-5
+    b = b * act[:, None]
+
+    Hd = H.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    bd = b.reshape(K * 6)
+
+    chi2 = (jnp.sum(wb * eb * eb) + jnp.sum(wg * eg * eg)
+            + jnp.sum(w0 * e0 * e0))
+    return Hd, bd, chi2
+
+
+def _equilibrated_cholesky_solve(H: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve H x = b robustly in float32.
+
+    The reference's gtsam noise models span ~14 orders of magnitude
+    (variances 1e-6 .. 1e8), which gtsam absorbs in float64; in float32 the
+    raw normal equations come out slightly asymmetric and indefinite.  We
+    symmetrize, Jacobi-equilibrate (D H D with D = diag(H)^{-1/2}, bringing
+    the diagonal to ~1), add relative damping, and Cholesky-solve the scaled
+    system."""
+    H = 0.5 * (H + H.T)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    Dinv = 1.0 / d
+    Hs = H * Dinv[:, None] * Dinv[None, :]
+    Hs = Hs + jnp.eye(H.shape[0], dtype=H.dtype) * 1e-5
+    c = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    y = jax.scipy.linalg.cho_solve(c, b * Dinv)
+    return y * Dinv
+
+
+def _retract_all(graph: F.PoseGraph, delta: jax.Array,
+                 active_mask: jax.Array) -> F.PoseGraph:
+    K = graph.poses.shape[0]
+    d = delta.reshape(K, 6)
+    d = jnp.where((active_mask & graph.pose_mask)[:, None], d, 0.0)
+    R, t = se3.pose6_to_Rt(graph.poses)
+    dR, dt = se3.se3_exp(d)
+    Rn, tn = se3.compose(R, t, dR, dt)
+    return graph._replace(poses=se3.Rt_to_pose6(Rn, tn))
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def solve(graph: F.PoseGraph, active_mask: jax.Array,
+          iterations: int = 2) -> SolveResult:
+    """Run `iterations` GN steps over the active poses."""
+
+    def step(_, carry):
+        g, _, _ = carry
+        H, b, chi2 = linearize_full(g, active_mask)
+        delta = _equilibrated_cholesky_solve(H, b)
+        g2 = _retract_all(g, delta, active_mask)
+        return (g2, jnp.linalg.norm(delta), chi2)
+
+    g, dn, chi2 = jax.lax.fori_loop(
+        0, iterations, step,
+        (graph, jnp.zeros((), graph.poses.dtype), jnp.zeros((), graph.poses.dtype)))
+    return SolveResult(graph=g, delta_norm=dn, chi2=chi2)
+
+
+@jax.jit
+def marginal_covariance(graph: F.PoseGraph, idx: jax.Array) -> jax.Array:
+    """(6,6) marginal covariance of pose `idx` — inv(H) block, like
+    isam->marginalCovariance (mapOptmization.cpp:2128)."""
+    K = graph.poses.shape[0]
+    H, _, _ = linearize_full(graph, graph.pose_mask)
+    H = 0.5 * (H + H.T)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    Dinv = 1.0 / d
+    Hs = H * Dinv[:, None] * Dinv[None, :]
+    Hs = Hs + jnp.eye(H.shape[0], dtype=H.dtype) * 1e-5
+    c = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    basis = jnp.zeros((K * 6, 6), H.dtype)
+    rows = idx * 6 + jnp.arange(6)
+    basis = basis.at[rows, jnp.arange(6)].set(1.0)
+    cols = Dinv[:, None] * jax.scipy.linalg.cho_solve(c, basis * Dinv[:, None])
+    return cols[rows.astype(jnp.int32), :]
+
+
+def window_mask(pose_mask: jax.Array, num_keyframes: jax.Array,
+                window: int) -> jax.Array:
+    """Mask of the last `window` active keyframes (sliding-window solve)."""
+    K = pose_mask.shape[0]
+    idx = jnp.arange(K)
+    return pose_mask & (idx >= jnp.maximum(num_keyframes - window, 0))

@@ -61,16 +61,20 @@ def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
     """
     k = neighbors.shape[1]
     A = neighbors                                       # (N, k, 3)
-    AtA = jnp.einsum("nki,nkj->nij", A, A)              # (N, 3, 3)
-    Atb = -jnp.sum(A, axis=1)                           # (N, 3)  (b = -1)
-    # regularize to keep solve finite for rank-deficient neighbourhoods; the
-    # validity gate below rejects those fits anyway
-    AtA = AtA + jnp.eye(3, dtype=A.dtype) * 1e-6
-    n_raw = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
-    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
-    safe = norm[..., 0] > 1e-6
-    normal = n_raw / jnp.maximum(norm, 1e-6)
-    offset = 1.0 / jnp.maximum(norm[..., 0], 1e-6)      # pd = 1/|n_raw|
+    # Centroid + covariance smallest-eigenvector fit.  (The reference solves
+    # A·n = -1, a parameterization that cannot represent planes through the
+    # origin and biases normals when |d| is small; the eigen fit is exact for
+    # every plane and equally cheap batched on TPU.)
+    centroid = jnp.mean(A, axis=1, keepdims=True)       # (N, 1, 3)
+    centered = A - centroid
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    eigval, eigvec = jnp.linalg.eigh(cov)               # ascending
+    normal = eigvec[..., 0]                             # (N, 3) smallest dir
+    offset = -jnp.einsum("ni,ni->n", normal, centroid[:, 0, :])
+    # well-conditioned plane: require genuine in-plane spread (middle
+    # eigenvalue = in-plane variance).  Near-collinear neighbourhoods would
+    # otherwise yield arbitrary normals that still pass the distance gate.
+    safe = eigval[..., 1] > 1e-3
     # plane validity: every neighbour within thresh of the plane
     dist = jnp.abs(jnp.einsum("nki,ni->nk", A, normal) + offset[:, None])
     plane_ok = jnp.all(jnp.where(neighbor_valid, dist, 0.0) <= plane_dist_thresh, axis=1)

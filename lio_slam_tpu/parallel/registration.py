@@ -1,0 +1,108 @@
+"""Multi-chip scan-to-map registration (SPMD over a device mesh).
+
+The reference parallelizes its registration hot loop with an OpenMP
+parallel-for over scan points (`mapOptmization.cpp:1622`,
+`numberOfCores: 12`).  The TPU-native scaling axis is the same data axis,
+but over chips: scan points are sharded along the mesh's 'data' axis, each
+device searches correspondences against its (replicated) local map and builds
+its 6x6 normal-equation block, and a `psum` over ICI reduces the blocks —
+the GN solve itself is a 6x6 system, replicated.
+
+The map can also be sharded (each shard holds a slice of map points and the
+k-NN merges per-shard top-k with a second psum-style reduction) — that path
+scales map capacity with pod size; see `knn_sharded`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lio_slam_tpu.config import RegistrationConfig
+from lio_slam_tpu.ops import knn as knn_mod
+from lio_slam_tpu.ops import registration as reg
+from lio_slam_tpu.utils import se3
+
+
+def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
+                          axis: str = "data",
+                          min_correspondences: int = 50):
+    """Build a jitted multi-chip register(scan, scan_mask, map, map_mask,
+    init_pose) with scan points sharded over `axis` and the map replicated."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(), P(), P()),
+             out_specs=(P(), P(), P()),
+             check_vma=False)
+    def normal_equations(scan, scan_mask, map_pts, map_mask, pose):
+        corr = reg.find_correspondences(scan, scan_mask, map_pts, map_mask,
+                                        pose, cfg)
+        AtA, Atb = reg._normal_equations(scan, corr, pose)
+        n_inl = jnp.sum(corr.valid.astype(jnp.int32))
+        return jax.lax.psum((AtA, Atb, n_inl), axis)
+
+    @jax.jit
+    def register(scan, scan_mask, map_pts, map_mask, init_pose):
+        def cond(st):
+            pose, P_, degen, it, conv = st
+            return (it < cfg.max_iterations) & ~conv
+
+        def body(st):
+            pose, P_prev, degen_prev, it, _ = st
+            AtA, Atb, n_inl = normal_equations(scan, scan_mask, map_pts,
+                                               map_mask, pose)
+            dx = jnp.linalg.solve(AtA + jnp.eye(6, dtype=AtA.dtype) * 1e-6, Atb)
+            Pm, degen = reg._degeneracy_projection(AtA, cfg.degeneracy_eig_thresh)
+            Pm = jnp.where(it == 0, Pm, P_prev)
+            degen = jnp.where(it == 0, degen, degen_prev)
+            dx = jnp.where(degen, Pm @ dx, dx)
+            enough = n_inl >= min_correspondences
+            dx = jnp.where(enough, dx, jnp.zeros_like(dx))
+            pose = pose + dx
+            dr = jnp.linalg.norm(dx[:3]) * (180.0 / jnp.pi)
+            dt = jnp.linalg.norm(dx[3:]) * 100.0
+            conv = ((dr < cfg.rot_converge) & (dt < cfg.trans_converge)) | ~enough
+            return (pose, Pm, degen, it + 1, conv)
+
+        init = (init_pose.astype(jnp.float32), jnp.eye(6, dtype=jnp.float32),
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
+        pose, _, degen, it, conv = jax.lax.while_loop(cond, body, init)
+        return reg.RegistrationResult(pose=pose, degenerate=degen,
+                                      converged=conv, iterations=it,
+                                      num_inliers=jnp.zeros((), jnp.int32),
+                                      mean_residual=jnp.zeros(()))
+
+    return register
+
+
+def make_sharded_knn(mesh: Mesh, k: int = 5, axis: str = "data"):
+    """k-NN with the MAP sharded over devices: each device holds a map slice,
+    computes local top-k for the full (replicated) query set, and an
+    all_gather + merge yields the global top-k.  This is the path that scales
+    map capacity with pod size (SURVEY.md §5 'long-context' equivalent)."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P(axis)),
+             out_specs=(P(), P()),
+             check_vma=False)
+    def sharded_knn(query, query_mask, map_shard, map_mask_shard):
+        local = knn_mod.knn(query, query_mask, map_shard, map_mask_shard, k=k)
+        shard_size = map_shard.shape[0]
+        my_idx = jax.lax.axis_index(axis)
+        global_idx = local.idx + my_idx * shard_size
+        # gather all shards' candidates and merge top-k
+        all_d = jax.lax.all_gather(local.dist2, axis)      # (D, N, k)
+        all_i = jax.lax.all_gather(global_idx, axis)       # (D, N, k)
+        D = all_d.shape[0]
+        N = all_d.shape[1]
+        cand_d = jnp.moveaxis(all_d, 0, 1).reshape(N, D * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(N, D * k)
+        neg, sel = jax.lax.top_k(-cand_d, k)
+        return -neg, jnp.take_along_axis(cand_i, sel, axis=1)
+
+    return jax.jit(sharded_knn)

@@ -1,0 +1,108 @@
+"""Keyframe tensor store + local-map assembly.
+
+TPU-native replacement for the reference's keyframe machinery
+(`src/liorf/src/mapOptmization.cpp`):
+
+- `cloudKeyPoses3D/6D` + `surfCloudKeyFrames` (:74-86) -> fixed-capacity
+  ring-buffer tensors (poses, stamps, per-keyframe downsampled clouds).
+- `extractNearby`/`extractCloud` (:1519-1588): kd-tree radius search over
+  keyframe positions + last-10 s keyframes, assemble the local map from
+  transformed keyframe clouds.  The reference caches transformed clouds in
+  `laserCloudMapContainer` (evicted >1000 entries, cleared on loop); on TPU a
+  batched gather+transform of ~50 keyframe clouds is a couple of matmuls, so
+  we recompute every scan and the cache (and its invalidation bugs) disappears.
+- keyframe gating (:1909-1928).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lio_slam_tpu.utils import pointcloud as pc
+from lio_slam_tpu.utils import se3
+
+
+class KeyframeStore(NamedTuple):
+    poses: jax.Array       # (K, 6) optimized keyframe poses
+    stamps: jax.Array      # (K,) scan timestamps (seconds)
+    clouds: jax.Array      # (K, P, 3) downsampled clouds in body frame
+    cloud_masks: jax.Array # (K, P) bool
+    count: jax.Array       # () int32 number of active keyframes
+
+
+def empty_store(max_keyframes: int, points_per_kf: int) -> KeyframeStore:
+    K, P = max_keyframes, points_per_kf
+    return KeyframeStore(
+        poses=jnp.zeros((K, 6), jnp.float32),
+        stamps=jnp.zeros(K, jnp.float32),
+        clouds=jnp.zeros((K, P, 3), jnp.float32),
+        cloud_masks=jnp.zeros((K, P), bool),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def should_add_keyframe(store: KeyframeStore, pose: jax.Array,
+                        angle_threshold: float, dist_threshold: float) -> jax.Array:
+    """saveFrame gate (:1909-1928): first scan always; else motion since the
+    last keyframe > thresholds."""
+    last = store.poses[jnp.maximum(store.count - 1, 0)]
+    delta = se3.pose6_between(last, pose)
+    big_angle = jnp.any(jnp.abs(delta[:3]) >= angle_threshold)
+    big_dist = jnp.linalg.norm(delta[3:]) >= dist_threshold
+    return (store.count == 0) | big_angle | big_dist
+
+
+def add_keyframe(store: KeyframeStore, pose: jax.Array, stamp: jax.Array,
+                 cloud: pc.Cloud) -> KeyframeStore:
+    """Append at slot `count` (capacity-saturating: when full, overwrite the
+    last slot — callers should size K for the mission)."""
+    i = jnp.minimum(store.count, store.poses.shape[0] - 1)
+    P = store.clouds.shape[1]
+    return store._replace(
+        poses=store.poses.at[i].set(pose),
+        stamps=store.stamps.at[i].set(stamp),
+        clouds=store.clouds.at[i].set(cloud.xyz[:P]),
+        cloud_masks=store.cloud_masks.at[i].set(cloud.mask[:P]),
+        count=jnp.minimum(store.count + 1, store.poses.shape[0]),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_selected", "map_capacity"))
+def assemble_local_map(store: KeyframeStore, position: jax.Array,
+                       now: jax.Array, radius: float, recent_sec: float,
+                       leaf_size: float, max_selected: int,
+                       map_capacity: int) -> pc.Cloud:
+    """extractNearby + extractCloud: select keyframes within `radius` of
+    `position` plus those of the last `recent_sec` seconds; take the
+    `max_selected` nearest; transform their clouds to map frame; merge +
+    voxel-downsample into a fixed-capacity map cloud."""
+    K = store.poses.shape[0]
+    kf_mask = jnp.arange(K) < store.count
+    d2 = jnp.sum((store.poses[:, 3:] - position[None, :]) ** 2, axis=-1)
+    recent = store.stamps >= (now - recent_sec)
+    selected = kf_mask & ((d2 <= radius * radius) | recent)
+    # nearest max_selected among selected
+    order_key = jnp.where(selected, d2, jnp.inf)
+    sel_idx = jnp.argsort(order_key)[:max_selected]            # (S,)
+    sel_valid = jnp.isfinite(order_key[sel_idx])               # (S,)
+
+    poses = store.poses[sel_idx]                               # (S, 6)
+    clouds = store.clouds[sel_idx]                             # (S, P, 3)
+    masks = store.cloud_masks[sel_idx] & sel_valid[:, None]    # (S, P)
+    R, t = se3.pose6_to_Rt(poses)                              # (S,3,3),(S,3)
+    world = jnp.einsum("sij,spj->spi", R, clouds) + t[:, None, :]
+    flat = world.reshape(-1, 3)
+    flat_mask = masks.reshape(-1)
+    merged = pc.Cloud(xyz=flat, mask=flat_mask)
+    return pc.voxel_downsample(merged, leaf_size, map_capacity)
+
+
+def transform_keyframe_clouds(store: KeyframeStore) -> jax.Array:
+    """All keyframe clouds in world frame (K, P, 3) — used by the global-map
+    exporter (saveMapService :938-941) and the planning map."""
+    R, t = se3.pose6_to_Rt(store.poses)
+    return jnp.einsum("kij,kpj->kpi", R, store.clouds) + t[:, None, :]

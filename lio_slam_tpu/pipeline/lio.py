@@ -1,0 +1,296 @@
+"""The per-scan LIO mapping step — one SPMD JAX program.
+
+This is the TPU-native equivalent of the reference's `mapOptimization` node
+main path (`src/liorf/src/mapOptmization.cpp:432-506`
+`laserCloudInfoHandler`): where the reference runs 4 ROS processes exchanging
+TCPROS messages, here one jitted function per scan performs
+
+    updateInitialGuess -> extractSurroundingKeyFrames -> downsampleCurrentScan
+    -> scan2MapOptimization -> transformUpdate -> saveKeyFramesAndFactor
+    -> correctPoses -> outputs
+
+over fixed-shape masked tensors.  Host code (pipeline/runner.py) only feeds
+sensor windows and reads odometry back.
+
+Factor-graph layout inside `LioState.graph`:
+- between slots [0, K-1): the odometry chain (slot i: keyframe i -> i+1)
+- between slots [K-1, K-1+L): accepted loop-closure factors
+- GPS slots fill in order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lio_slam_tpu.config import Config
+from lio_slam_tpu.graph import factors as F
+from lio_slam_tpu.graph import solver
+from lio_slam_tpu.ops import registration as reg
+from lio_slam_tpu.pipeline import keyframes as kf
+from lio_slam_tpu.utils import pointcloud as pc
+from lio_slam_tpu.utils import se3
+
+
+class LioState(NamedTuple):
+    store: kf.KeyframeStore
+    graph: F.PoseGraph
+    loop_count: jax.Array      # () int32 loop factors accepted so far
+    gps_count: jax.Array       # () int32 GPS factors added so far
+    pose: jax.Array            # (6,) current transformTobeMapped
+    last_incre_pose: jax.Array # (6,) pose at previous scan (for incremental odom)
+    last_gps_pos: jax.Array    # (3,) position of last GPS factor
+    degenerate: jax.Array      # () bool
+    loop_closed: jax.Array     # () bool — a loop factor was consumed this step
+    # pending loop constraints (filled by the loop-closure module)
+    pend_i: jax.Array          # (Q,) int32
+    pend_j: jax.Array          # (Q,) int32
+    pend_meas: jax.Array       # (Q, 6)
+    pend_info: jax.Array       # (Q, 6)
+    pend_mask: jax.Array       # (Q,) bool
+
+
+class ScanInput(NamedTuple):
+    cloud: pc.Cloud            # deskewed scan, body frame
+    stamp: jax.Array           # () seconds
+    init_guess: jax.Array      # (6,) absolute pose guess (IMU odometry)
+    guess_valid: jax.Array     # () bool (cloud_info.odomAvailable)
+    imu_rpy: jax.Array         # (3,) IMU attitude (cloud_info.imu*Init)
+    imu_available: jax.Array   # () bool
+    gps_pos: jax.Array         # (3,) ENU position paired to this scan
+    gps_info: jax.Array        # (3,) information diag for the GPS factor
+    gps_valid: jax.Array       # () bool
+
+
+class StepOutput(NamedTuple):
+    pose: jax.Array            # (6,) global odometry (liorf/mapping/odometry)
+    incremental: jax.Array     # (6,) scan-to-scan increment (odometry_incremental)
+    degenerate: jax.Array      # () bool (covariance[0] contract)
+    is_keyframe: jax.Array     # () bool
+    num_inliers: jax.Array     # () int32
+    registration_iters: jax.Array  # () int32
+
+
+def empty_scan_input(capacity: int) -> ScanInput:
+    return ScanInput(
+        cloud=pc.Cloud(xyz=jnp.zeros((capacity, 3), jnp.float32),
+                       mask=jnp.zeros(capacity, bool)),
+        stamp=jnp.zeros(()), init_guess=jnp.zeros(6),
+        guess_valid=jnp.zeros((), bool), imu_rpy=jnp.zeros(3),
+        imu_available=jnp.zeros((), bool), gps_pos=jnp.zeros(3),
+        gps_info=jnp.zeros(3), gps_valid=jnp.zeros((), bool),
+    )
+
+
+def init_state(cfg: Config) -> LioState:
+    s = cfg.static
+    K = s.max_keyframes
+    B = K - 1 + s.max_loop_queue * 8      # odometry chain + loop region
+    G = s.max_gps_queue * 8
+    Q = s.max_loop_queue
+    return LioState(
+        store=kf.empty_store(K, s.max_keyframe_points),
+        graph=F.empty_graph(K, B, G),
+        loop_count=jnp.zeros((), jnp.int32),
+        gps_count=jnp.zeros((), jnp.int32),
+        pose=jnp.zeros(6, jnp.float32),
+        last_incre_pose=jnp.zeros(6, jnp.float32),
+        last_gps_pos=jnp.full(3, 1e9, jnp.float32),
+        degenerate=jnp.zeros((), bool),
+        loop_closed=jnp.zeros((), bool),
+        pend_i=jnp.zeros(Q, jnp.int32), pend_j=jnp.zeros(Q, jnp.int32),
+        pend_meas=jnp.zeros((Q, 6), jnp.float32),
+        pend_info=jnp.zeros((Q, 6), jnp.float32),
+        pend_mask=jnp.zeros(Q, bool),
+    )
+
+
+def _update_initial_guess(state: LioState, inp: ScanInput) -> jax.Array:
+    """updateInitialGuess (:1438-1502): first scan takes the IMU attitude
+    (yaw zeroed — useImuHeadingInitialization is off in the configs we mirror);
+    otherwise the IMU-odometry guess when available, else hold the last pose."""
+    first = state.store.count == 0
+    first_pose = jnp.concatenate([
+        jnp.where(inp.imu_available,
+                  inp.imu_rpy * jnp.array([1.0, 1.0, 0.0]), jnp.zeros(3)),
+        jnp.zeros(3)])
+    guess = jnp.where(inp.guess_valid, inp.init_guess, state.pose)
+    return jnp.where(first, first_pose, guess)
+
+
+def _add_gps_factor(state: LioState, inp: ScanInput, new_idx: jax.Array,
+                    cfg: Config) -> LioState:
+    """addGPSFactor gates (:1946-2041): need a valid fix, enough travel since
+    the datum, pose covariance above threshold, and spatial spacing from the
+    previous GPS factor."""
+    g = state.graph
+    first_pos = state.store.poses[0, 3:]
+    cur_pos = state.store.poses[jnp.maximum(new_idx, 0), 3:]
+    traveled = jnp.linalg.norm(cur_pos - first_pos) > cfg.gps.min_travel_before_gps
+    spaced = jnp.linalg.norm(cur_pos - state.last_gps_pos) > cfg.gps.gps_distance_frequency
+
+    def with_cov(_):
+        cov = solver.marginal_covariance(g, new_idx)
+        return (cov[3, 3] > cfg.gps.pose_cov_threshold) | \
+               (cov[4, 4] > cfg.gps.pose_cov_threshold)
+
+    need = jax.lax.cond(inp.gps_valid & traveled & spaced,
+                        with_cov, lambda _: jnp.zeros((), bool), None)
+    add = inp.gps_valid & traveled & spaced & need
+    slot = jnp.minimum(state.gps_count, g.gps_i.shape[0] - 1)
+    g = g._replace(
+        gps_i=jnp.where(add, g.gps_i.at[slot].set(new_idx), g.gps_i),
+        gps_meas=jnp.where(add, g.gps_meas.at[slot].set(inp.gps_pos), g.gps_meas),
+        gps_info=jnp.where(add, g.gps_info.at[slot].set(inp.gps_info), g.gps_info),
+        gps_mask=jnp.where(add, g.gps_mask.at[slot].set(True), g.gps_mask),
+    )
+    return state._replace(
+        graph=g,
+        gps_count=state.gps_count + add.astype(jnp.int32),
+        last_gps_pos=jnp.where(add, cur_pos, state.last_gps_pos))
+
+
+def _consume_pending_loops(state: LioState, cfg: Config) -> LioState:
+    """addLoopFactor (:2043-2062): move queued loop constraints into the
+    between-factor loop region."""
+    g = state.graph
+    K = state.store.poses.shape[0]
+    Q = state.pend_mask.shape[0]
+    base = K - 1
+    n_loops = state.loop_count
+    offsets = jnp.cumsum(state.pend_mask.astype(jnp.int32)) - 1
+    slots = jnp.clip(base + n_loops + offsets, 0, g.bt_i.shape[0] - 1)
+    put = state.pend_mask
+
+    def scatter(arr, vals):
+        return arr.at[slots].set(jnp.where(put[..., None] if arr.ndim > 1 else put,
+                                           vals, arr[slots]))
+
+    g = g._replace(
+        bt_i=g.bt_i.at[slots].set(jnp.where(put, state.pend_i, g.bt_i[slots])),
+        bt_j=g.bt_j.at[slots].set(jnp.where(put, state.pend_j, g.bt_j[slots])),
+        bt_meas=g.bt_meas.at[slots].set(
+            jnp.where(put[:, None], state.pend_meas, g.bt_meas[slots])),
+        bt_info=g.bt_info.at[slots].set(
+            jnp.where(put[:, None], state.pend_info, g.bt_info[slots])),
+        bt_mask=g.bt_mask.at[slots].set(put | g.bt_mask[slots]),
+    )
+    n_added = jnp.sum(put.astype(jnp.int32))
+    return state._replace(
+        graph=g, loop_count=n_loops + n_added,
+        loop_closed=n_added > 0,
+        pend_mask=jnp.zeros(Q, bool))
+
+
+def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
+                   scan_ds: pc.Cloud, cfg: Config) -> LioState:
+    """saveKeyFramesAndFactor (:2064-2171) + correctPoses (:2173-2204)."""
+    g = state.graph
+    prev_idx = state.store.count - 1
+    new_idx = state.store.count
+    first = new_idx == 0
+
+    # prior (first keyframe) — gtsam variances (:1933)
+    g = g._replace(
+        prior_pose=jnp.where(first, pose, g.prior_pose),
+        prior_info=jnp.where(
+            first, F.info_from_variances(cfg.keyframe.prior_sigmas), g.prior_info))
+
+    # odometry between factor (:1939)
+    meas = se3.pose6_between(state.store.poses[jnp.maximum(prev_idx, 0)], pose)
+    odom_info = F.info_from_variances(cfg.keyframe.odom_sigmas)
+    slot = jnp.maximum(prev_idx, 0)
+    use_between = ~first
+    g = g._replace(
+        bt_i=g.bt_i.at[slot].set(jnp.where(use_between, prev_idx, g.bt_i[slot])),
+        bt_j=g.bt_j.at[slot].set(jnp.where(use_between, new_idx, g.bt_j[slot])),
+        bt_meas=g.bt_meas.at[slot].set(jnp.where(use_between, meas, g.bt_meas[slot])),
+        bt_info=g.bt_info.at[slot].set(jnp.where(use_between, odom_info, g.bt_info[slot])),
+        bt_mask=g.bt_mask.at[slot].set(use_between | g.bt_mask[slot]),
+    )
+
+    # insert keyframe into store + graph variables
+    store = kf.add_keyframe(state.store, pose, inp.stamp, scan_ds)
+    g = g._replace(
+        poses=g.poses.at[new_idx].set(pose),
+        pose_mask=g.pose_mask.at[new_idx].set(True))
+    state = state._replace(store=store, graph=g)
+
+    # loop + GPS factors
+    state = _consume_pending_loops(state, cfg)
+    if cfg.gps.use_gps:
+        state = _add_gps_factor(state, inp, new_idx, cfg)
+
+    # solve: window GN x2 normally; full graph with extra iterations after a
+    # loop/GPS event (isam update x2 + x5, :2082-2092)
+    g = state.graph
+    big_update = state.loop_closed | (state.gps_count > 0) & inp.gps_valid
+    window = solver.window_mask(g.pose_mask, store.count, cfg.static.window_size)
+
+    def small(_):
+        return solver.solve(g, window, iterations=2).graph
+
+    def big(_):
+        return solver.solve(g, g.pose_mask, iterations=5).graph
+
+    g = jax.lax.cond(big_update, big, small, None)
+
+    # correctPoses: keyframe store always mirrors the optimized estimate
+    store = store._replace(poses=jnp.where(
+        g.pose_mask[:, None], g.poses, store.poses))
+    new_pose = g.poses[new_idx]
+    return state._replace(store=store, graph=g, pose=new_pose,
+                          loop_closed=jnp.zeros((), bool))
+
+
+def make_lio_step(cfg: Config):
+    """Build the jitted per-scan step for a given config."""
+    s = cfg.static
+    r = cfg.registration
+
+    @jax.jit
+    def lio_step(state: LioState, inp: ScanInput):
+        pose_guess = _update_initial_guess(state, inp)
+
+        local_map = kf.assemble_local_map(
+            state.store, pose_guess[3:], inp.stamp,
+            radius=r.surrounding_radius, recent_sec=r.recent_window_sec,
+            leaf_size=r.mapping_surf_leaf_size,
+            max_selected=cfg.output.local_map_keyframes,
+            map_capacity=s.max_map_points)
+
+        scan_ds = pc.voxel_downsample(inp.cloud, r.mapping_surf_leaf_size,
+                                      s.max_scan_points)
+
+        has_map = state.store.count > 0
+        res = reg.register(scan_ds.xyz, scan_ds.mask & has_map,
+                           local_map.xyz, local_map.mask,
+                           pose_guess, r)
+        pose = jnp.where(has_map, res.pose, pose_guess)
+        pose = reg.transform_update(pose, inp.imu_rpy, inp.imu_available,
+                                    cfg.imu.imu_rpy_weight,
+                                    r.rotation_tolerance, r.z_tolerance)
+
+        is_kf = kf.should_add_keyframe(state.store, pose,
+                                       cfg.keyframe.angle_threshold,
+                                       cfg.keyframe.dist_threshold)
+        state = state._replace(pose=pose, degenerate=res.degenerate)
+        state = jax.lax.cond(
+            is_kf,
+            lambda st: _save_keyframe(st, inp, pose, scan_ds, cfg),
+            lambda st: st,
+            state)
+
+        incremental = se3.pose6_between(state.last_incre_pose, state.pose)
+        out = StepOutput(pose=state.pose, incremental=incremental,
+                         degenerate=res.degenerate, is_keyframe=is_kf,
+                         num_inliers=res.num_inliers,
+                         registration_iters=res.iterations)
+        state = state._replace(last_incre_pose=state.pose)
+        return state, out
+
+    return lio_step

@@ -50,25 +50,37 @@ def _sinc(theta):
 # ---------------------------------------------------------------------------
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues: axis-angle (..., 3) -> rotation matrix (..., 3, 3)."""
+    """Rodrigues: axis-angle (..., 3) -> rotation matrix (..., 3, 3).
+
+    Uses the double-where pattern so `jacfwd`/`grad` through the small-angle
+    branch stays finite (sqrt'(0) = inf would otherwise poison the gradient).
+    """
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]   # (...,1,1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)   # keep sqrt grad finite
+    theta = jnp.sqrt(theta2_safe)
     W = skew(w)
     W2 = W @ W
-    small = theta2 < _EPS
-    a = jnp.where(small, 1.0 - theta2 / 6.0,
-                  jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - theta2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
+
+    Differentiation-safe at theta -> 0 (double-where: arccos/sqrt are only
+    evaluated on inputs bounded away from their singular points)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # thresholds must be representable in float32 (1 - 1e-8 rounds to 1.0!)
+    near_zero = cos_theta > 1.0 - 1e-6
+    near_pi_c = cos_theta < -1.0 + 1e-6
+    cos_safe = jnp.where(near_zero | near_pi_c,
+                         jnp.zeros_like(cos_theta), cos_theta)
+    theta = jnp.where(near_zero, 0.0,
+                      jnp.where(near_pi_c, jnp.pi, jnp.arccos(cos_safe)))
     # antisymmetric part
     v = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
@@ -76,17 +88,18 @@ def so3_log(R: jax.Array) -> jax.Array:
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
     sin_theta = jnp.sin(theta)
-    near_zero = theta < 1e-4
     near_pi = jnp.pi - theta < 1e-3
-    # generic: w = theta / (2 sin theta) * v
-    scale = jnp.where(near_zero, 0.5 + theta * theta / 12.0,
-                      theta / jnp.where(near_zero, 1.0, 2.0 * sin_theta))
+    # generic: w = theta / (2 sin theta) * v; near zero use the Taylor series
+    # in theta^2 ~= |v|^2/4 (grad-safe, no arccos/sqrt involved)
+    t2_small = jnp.sum(v * v, axis=-1) / 4.0
+    sin_safe = jnp.where(near_zero | near_pi, 1.0, 2.0 * sin_theta)
+    scale = jnp.where(near_zero, 0.5 + t2_small / 12.0, theta / sin_safe)
     w_generic = scale[..., None] * v
     # near pi: use diagonal formula
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.maximum((diag - cos_theta[..., None]) /
                         jnp.maximum(1.0 - cos_theta[..., None], _EPS), 0.0)
-    axis = jnp.sqrt(axis2)
+    axis = jnp.sqrt(jnp.where(near_pi[..., None], jnp.maximum(axis2, _EPS), 1.0))
     # fix signs from off-diagonals
     sign = jnp.sign(jnp.where(jnp.abs(v) > 1e-6, v, jnp.stack([
         R[..., 1, 0] + R[..., 0, 1],
@@ -101,14 +114,15 @@ def so3_log(R: jax.Array) -> jax.Array:
 def so3_left_jacobian(w: jax.Array) -> jax.Array:
     """Left Jacobian J_l of SO(3): exp((w+dw)^) ≈ exp(J_l dw) exp(w^)."""
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = skew(w)
     W2 = W @ W
-    small = theta2 < _EPS
     b = jnp.where(small, 0.5 - theta2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta2 * theta))
+                  (theta - jnp.sin(theta)) / (theta2_safe * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + b * W + c * W2
 

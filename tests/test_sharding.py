@@ -1,0 +1,76 @@
+"""Multi-device SPMD tests on the 8-way virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lio_slam_tpu.config import RegistrationConfig
+from lio_slam_tpu.ops import knn as knn_mod
+from lio_slam_tpu.parallel import mesh as mesh_mod
+from lio_slam_tpu.parallel import registration as preg
+from lio_slam_tpu.utils import se3
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    return mesh_mod.make_mesh(8)
+
+
+def make_problem(n_scan=1024, n_map=4096, seed=0):
+    rs = np.random.RandomState(seed)
+    u = lambda n, lo, hi: rs.uniform(lo, hi, n).astype(np.float32)
+    npl = n_map // 4
+    world = np.concatenate([
+        np.stack([u(npl, -20, 20), u(npl, -20, 20), np.zeros(npl, np.float32)], 1),
+        np.stack([np.full(npl, 15.0, np.float32), u(npl, -20, 20), u(npl, 0, 6)], 1),
+        np.stack([u(npl, -20, 20), np.full(npl, -12.0, np.float32), u(npl, 0, 6)], 1),
+        np.stack([u(npl, -20, 20), u(npl, -20, 20), np.full(npl, 5.0, np.float32)], 1),
+    ]) + rs.randn(n_map, 3).astype(np.float32) * 0.005
+    sel = rs.choice(n_map, n_scan, replace=False)
+    true_pose = jnp.array([0.02, -0.015, 0.3, 1.0, -0.5, 0.2])
+    R, t = se3.pose6_to_Rt(true_pose)
+    Ri, ti = se3.inverse(R, t)
+    scan = np.asarray(se3.transform_points(Ri, ti, jnp.asarray(world[sel])))
+    return (jnp.asarray(scan), jnp.ones(n_scan, bool),
+            jnp.asarray(world), jnp.ones(n_map, bool), true_pose)
+
+
+def test_sharded_register_matches_single(mesh):
+    scan, smask, mp, mmask, true_pose = make_problem()
+    cfg = RegistrationConfig(degeneracy_eig_thresh=1.0)
+    init = true_pose + jnp.array([0.02, 0.01, -0.03, 0.2, -0.15, 0.08])
+
+    register = preg.make_sharded_register(mesh, cfg)
+    scan_sh = mesh_mod.shard_points(mesh, scan)
+    smask_sh = mesh_mod.shard_points(mesh, smask)
+    res = register(scan_sh, smask_sh, mp, mmask, init)
+    err = np.abs(np.asarray(res.pose - true_pose))
+    assert err.max() < 0.02, err
+
+    # single-chip reference result
+    from lio_slam_tpu.ops import registration as reg
+    res1 = reg.register(scan, smask, mp, mmask, init, cfg)
+    np.testing.assert_allclose(np.asarray(res.pose), np.asarray(res1.pose),
+                               atol=5e-3)
+
+
+def test_sharded_knn_matches_single(mesh):
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.randn(256, 3).astype(np.float32))
+    r = jnp.asarray(rs.randn(2048, 3).astype(np.float32))
+    qm = jnp.ones(256, bool)
+    rm = jnp.ones(2048, bool)
+
+    knn_sh = preg.make_sharded_knn(mesh, k=5)
+    r_sh = mesh_mod.shard_points(mesh, r)
+    rm_sh = mesh_mod.shard_points(mesh, rm)
+    d_sh, i_sh = knn_sh(q, qm, r_sh, rm_sh)
+
+    ref = knn_mod.knn(q, qm, r, rm, k=5)
+    np.testing.assert_allclose(np.sort(np.asarray(d_sh), axis=1),
+                               np.sort(np.asarray(ref.dist2), axis=1),
+                               rtol=1e-4, atol=1e-5)
+    same = [set(a) == set(b) for a, b in zip(np.asarray(i_sh), np.asarray(ref.idx))]
+    assert np.mean(same) > 0.95
