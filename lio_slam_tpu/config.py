@@ -103,6 +103,16 @@ class RegistrationConfig:
     degeneracy_eig_thresh: float = 100.0  # eigenvalue gate (:1795)
     nn_radius: float = 1.0                # 5-NN max distance (kd-tree radius semantics)
     min_surf_points: int = 30             # skip registration below this (:1841)
+    # neighbour-search backend: "grid" = voxel hash grid (production, O(N*27c));
+    # "brute" = chunked MXU matmul top-k (exact oracle / fallback)
+    knn_backend: str = "grid"
+    grid_max_per_cell: int = 16           # bucket occupancy cap
+    grid_table_size: int = 32768          # hash buckets (power of two)
+    # local-map maintenance: "incremental" keeps one persistent voxel map
+    # updated on keyframe insertion (iVox-style; no per-scan rebuild, the
+    # production path); "rebuild" reassembles from nearby keyframes each scan
+    # (the reference's extractNearby semantics, exact but slower)
+    local_map_mode: str = "incremental"
     z_tolerance: float = 1000.0           # |z| clamp (transformUpdate :1890)
     rotation_tolerance: float = 1000.0    # |roll|,|pitch| clamp
 

@@ -86,15 +86,27 @@ def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
 def find_correspondences(scan: jax.Array, scan_mask: jax.Array,
                          map_pts: jax.Array, map_mask: jax.Array,
                          pose6: jax.Array, cfg: RegistrationConfig,
-                         k: int = 5) -> Correspondences:
-    """One surfOptimization pass at the given pose."""
+                         k: int = 5, grid=None) -> Correspondences:
+    """One surfOptimization pass at the given pose.
+
+    `grid`: optional prebuilt `voxel_grid.HashGrid` over the map — the
+    production path (the map is static across GN iterations, so the grid is
+    built once per scan instead of a kd-tree per scan like the reference)."""
     R, t = se3.pose6_to_Rt(pose6)
     scan_w = se3.transform_points(R, t, scan)           # pointAssociateToMap
-    nn = knn_mod.knn(scan_w, scan_mask, map_pts, map_mask, k=k)
+    if grid is not None:
+        from lio_slam_tpu.ops import voxel_grid as vg
+        nn = vg.query_knn(grid, scan_w, scan_mask, k=k)
+        neighbors = nn.neighbors                         # (N, k, 3) coords
+        nn_valid = nn.valid
+    else:
+        res = knn_mod.knn(scan_w, scan_mask, map_pts, map_mask, k=k)
+        neighbors = map_pts[res.idx]                     # (N, k, 3)
+        nn_valid = res.valid
+        nn = res
     # kd-tree gate: 5th neighbour within nn_radius (pointSearchSqDis[4] < 1.0)
-    nn_ok = nn.valid[:, k - 1] & (nn.dist2[:, k - 1] < cfg.nn_radius ** 2)
-    neighbors = map_pts[nn.idx]                          # (N, k, 3)
-    normal, offset, plane_ok = fit_planes(neighbors, nn.valid, cfg.plane_dist_thresh)
+    nn_ok = nn_valid[:, k - 1] & (nn.dist2[:, k - 1] < cfg.nn_radius ** 2)
+    normal, offset, plane_ok = fit_planes(neighbors, nn_valid, cfg.plane_dist_thresh)
     pd2 = jnp.einsum("ni,ni->n", normal, scan_w) + offset
     rng = jnp.linalg.norm(scan, axis=-1)
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))
@@ -139,26 +151,15 @@ class _LoopState(NamedTuple):
     mean_residual: jax.Array
 
 
-@partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
-def register(scan: jax.Array, scan_mask: jax.Array,
-             map_pts: jax.Array, map_mask: jax.Array,
-             init_pose6: jax.Array, cfg: RegistrationConfig,
-             min_correspondences: int = 50) -> RegistrationResult:
-    """Full scan2MapOptimization: iterate correspondence + GN to convergence.
-
-    Skips (returns the initial pose) when the scan or map is too small, like
-    the reference's `laserCloudSurfLastDSNum > 30` gate (:1841) and
-    `laserCloudSelNum < 50` gate (:1724).
-    """
-    scan = scan.astype(jnp.float32)
-    map_pts = map_pts.astype(jnp.float32)
+def _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg: RegistrationConfig,
+             runnable, min_correspondences: int) -> RegistrationResult:
+    """Shared GN iteration loop; `corr_fn(pose) -> Correspondences`."""
 
     def cond(st: _LoopState):
         return (st.it < cfg.max_iterations) & ~st.converged
 
     def body(st: _LoopState):
-        corr = find_correspondences(scan, scan_mask, map_pts, map_mask,
-                                    st.pose, cfg)
+        corr = corr_fn(st.pose)
         n_inl = jnp.sum(corr.valid.astype(jnp.int32))
         AtA, Atb = _normal_equations(scan, corr, st.pose)
         # Levenberg damping epsilon keeps the solve finite when rank-deficient;
@@ -183,10 +184,6 @@ def register(scan: jax.Array, scan_mask: jax.Array,
                           converged=conv, num_inliers=n_inl,
                           mean_residual=mean_res)
 
-    n_scan = jnp.sum(scan_mask.astype(jnp.int32))
-    n_map = jnp.sum(map_mask.astype(jnp.int32))
-    runnable = (n_scan > 30) & (n_map > 50)
-
     init = _LoopState(pose=init_pose6.astype(jnp.float32),
                       P=jnp.eye(6, dtype=jnp.float32),
                       degenerate=jnp.zeros((), bool),
@@ -199,6 +196,58 @@ def register(scan: jax.Array, scan_mask: jax.Array,
                               converged=st.converged, iterations=st.it,
                               num_inliers=st.num_inliers,
                               mean_residual=st.mean_residual)
+
+
+@partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
+def register(scan: jax.Array, scan_mask: jax.Array,
+             map_pts: jax.Array, map_mask: jax.Array,
+             init_pose6: jax.Array, cfg: RegistrationConfig,
+             min_correspondences: int = 50) -> RegistrationResult:
+    """Full scan2MapOptimization: iterate correspondence + GN to convergence.
+
+    Skips (returns the initial pose) when the scan or map is too small, like
+    the reference's `laserCloudSurfLastDSNum > 30` gate (:1841) and
+    `laserCloudSelNum < 50` gate (:1724).
+    """
+    scan = scan.astype(jnp.float32)
+    map_pts = map_pts.astype(jnp.float32)
+
+    if cfg.knn_backend == "grid":
+        from lio_slam_tpu.ops import voxel_grid as vg
+        # cell size = nn_radius so the 27-cell neighbourhood covers the gate
+        grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
+                             cfg.grid_table_size, cfg.grid_max_per_cell)
+    else:
+        grid = None
+
+    def corr_fn(pose):
+        return find_correspondences(scan, scan_mask, map_pts, map_mask,
+                                    pose, cfg, grid=grid)
+
+    n_scan = jnp.sum(scan_mask.astype(jnp.int32))
+    n_map = jnp.sum(map_mask.astype(jnp.int32))
+    runnable = (n_scan > 30) & (n_map > 50)
+    return _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg, runnable,
+                    min_correspondences)
+
+
+@partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
+def register_with_grid(scan: jax.Array, scan_mask: jax.Array,
+                       grid, init_pose6: jax.Array, cfg: RegistrationConfig,
+                       min_correspondences: int = 50) -> RegistrationResult:
+    """scan2MapOptimization against a persistent (incremental) voxel map —
+    the production path: no per-scan map assembly or grid build."""
+    scan = scan.astype(jnp.float32)
+
+    def corr_fn(pose):
+        return find_correspondences(scan, scan_mask, None, None, pose, cfg,
+                                    grid=grid)
+
+    n_scan = jnp.sum(scan_mask.astype(jnp.int32))
+    n_map = jnp.sum(grid.counts)
+    runnable = (n_scan > 30) & (n_map > 50)
+    return _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg, runnable,
+                    min_correspondences)
 
 
 def transform_update(pose6: jax.Array, imu_rpy: jax.Array,

@@ -31,6 +31,7 @@ from lio_slam_tpu.config import Config
 from lio_slam_tpu.graph import factors as F
 from lio_slam_tpu.graph import solver
 from lio_slam_tpu.ops import registration as reg
+from lio_slam_tpu.ops import voxel_grid as vg
 from lio_slam_tpu.pipeline import keyframes as kf
 from lio_slam_tpu.utils import pointcloud as pc
 from lio_slam_tpu.utils import se3
@@ -39,6 +40,7 @@ from lio_slam_tpu.utils import se3
 class LioState(NamedTuple):
     store: kf.KeyframeStore
     graph: F.PoseGraph
+    map_grid: vg.HashGrid      # persistent world-frame voxel map (incremental mode)
     loop_count: jax.Array      # () int32 loop factors accepted so far
     gps_count: jax.Array       # () int32 GPS factors added so far
     pose: jax.Array            # (6,) current transformTobeMapped
@@ -95,6 +97,9 @@ def init_state(cfg: Config) -> LioState:
     return LioState(
         store=kf.empty_store(K, s.max_keyframe_points),
         graph=F.empty_graph(K, B, G),
+        map_grid=vg.empty_grid(cfg.registration.nn_radius,
+                               cfg.registration.grid_table_size,
+                               cfg.registration.grid_max_per_cell),
         loop_count=jnp.zeros((), jnp.int32),
         gps_count=jnp.zeros((), jnp.int32),
         pose=jnp.zeros(6, jnp.float32),
@@ -243,6 +248,29 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
     store = store._replace(poses=jnp.where(
         g.pose_mask[:, None], g.poses, store.poses))
     new_pose = g.poses[new_idx]
+
+    # incremental voxel map maintenance: insert this keyframe's cloud at its
+    # optimized pose; after a loop closure every pose moved, so rebuild the
+    # map from the corrected keyframe store (correctPoses' cache-clear analog)
+    if cfg.registration.local_map_mode == "incremental":
+        Rn, tn = se3.pose6_to_Rt(new_pose)
+        world_pts = se3.transform_points(Rn, tn, scan_ds.xyz)
+
+        def rebuild(_):
+            all_world = kf.transform_keyframe_clouds(store)       # (K, P, 3)
+            flat = all_world.reshape(-1, 3)
+            flat_mask = store.cloud_masks.reshape(-1)
+            return vg.build_grid(flat, flat_mask,
+                                 cfg.registration.nn_radius,
+                                 cfg.registration.grid_table_size,
+                                 cfg.registration.grid_max_per_cell)
+
+        def insert(_):
+            return vg.insert_points(state.map_grid, world_pts, scan_ds.mask)
+
+        grid = jax.lax.cond(state.loop_closed, rebuild, insert, None)
+        state = state._replace(map_grid=grid)
+
     return state._replace(store=store, graph=g, pose=new_pose,
                           loop_closed=jnp.zeros((), bool))
 
@@ -252,24 +280,27 @@ def make_lio_step(cfg: Config):
     s = cfg.static
     r = cfg.registration
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def lio_step(state: LioState, inp: ScanInput):
         pose_guess = _update_initial_guess(state, inp)
-
-        local_map = kf.assemble_local_map(
-            state.store, pose_guess[3:], inp.stamp,
-            radius=r.surrounding_radius, recent_sec=r.recent_window_sec,
-            leaf_size=r.mapping_surf_leaf_size,
-            max_selected=cfg.output.local_map_keyframes,
-            map_capacity=s.max_map_points)
 
         scan_ds = pc.voxel_downsample(inp.cloud, r.mapping_surf_leaf_size,
                                       s.max_scan_points)
 
         has_map = state.store.count > 0
-        res = reg.register(scan_ds.xyz, scan_ds.mask & has_map,
-                           local_map.xyz, local_map.mask,
-                           pose_guess, r)
+        if r.local_map_mode == "incremental":
+            res = reg.register_with_grid(scan_ds.xyz, scan_ds.mask & has_map,
+                                         state.map_grid, pose_guess, r)
+        else:
+            local_map = kf.assemble_local_map(
+                state.store, pose_guess[3:], inp.stamp,
+                radius=r.surrounding_radius, recent_sec=r.recent_window_sec,
+                leaf_size=r.mapping_surf_leaf_size,
+                max_selected=cfg.output.local_map_keyframes,
+                map_capacity=s.max_map_points)
+            res = reg.register(scan_ds.xyz, scan_ds.mask & has_map,
+                               local_map.xyz, local_map.mask,
+                               pose_guess, r)
         pose = jnp.where(has_map, res.pose, pose_guess)
         pose = reg.transform_update(pose, inp.imu_rpy, inp.imu_available,
                                     cfg.imu.imu_rpy_weight,
