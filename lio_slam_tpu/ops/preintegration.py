@@ -78,7 +78,9 @@ def apply_pileup_gate(acc: jax.Array, gyr: jax.Array, dt: jax.Array,
     (acc = (0,0,g) i.e. gravity reaction only, omega = 0); non-positive dt
     becomes `fallback_dt`.
     """
-    piled = dt <= min_dt
+    # strict comparison with slack: a nominal-100 Hz stream (dt == 0.01) must
+    # NOT be gated; only genuinely piled-up samples (dt clearly below the gap)
+    piled = dt < min_dt * 0.999
     placeholder_acc = jnp.array([0.0, 0.0, gravity], acc.dtype)
     acc = jnp.where(piled[:, None], placeholder_acc, acc)
     gyr = jnp.where(piled[:, None], jnp.zeros(3, gyr.dtype), gyr)

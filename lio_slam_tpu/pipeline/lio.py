@@ -31,6 +31,7 @@ from lio_slam_tpu.config import Config
 from lio_slam_tpu.graph import factors as F
 from lio_slam_tpu.graph import solver
 from lio_slam_tpu.ops import registration as reg
+from lio_slam_tpu.ops import scancontext as sc_mod
 from lio_slam_tpu.ops import voxel_grid as vg
 from lio_slam_tpu.pipeline import keyframes as kf
 from lio_slam_tpu.utils import pointcloud as pc
@@ -41,6 +42,8 @@ class LioState(NamedTuple):
     store: kf.KeyframeStore
     graph: F.PoseGraph
     map_grid: vg.HashGrid      # persistent world-frame voxel map (incremental mode)
+    sc_db: "sc_mod.ScanContextDB"  # Scan Context descriptors per keyframe
+    last_loop_kf: jax.Array    # () int32 keyframe of the last accepted loop
     loop_count: jax.Array      # () int32 loop factors accepted so far
     gps_count: jax.Array       # () int32 GPS factors added so far
     pose: jax.Array            # (6,) current transformTobeMapped
@@ -100,6 +103,8 @@ def init_state(cfg: Config) -> LioState:
         map_grid=vg.empty_grid(cfg.registration.nn_radius,
                                cfg.registration.grid_table_size,
                                cfg.registration.grid_max_per_cell),
+        sc_db=sc_mod.empty_db(K, s.sc_num_ring, s.sc_num_sector),
+        last_loop_kf=jnp.full((), -1, jnp.int32),
         loop_count=jnp.zeros((), jnp.int32),
         gps_count=jnp.zeros((), jnp.int32),
         pose=jnp.zeros(6, jnp.float32),
@@ -223,7 +228,14 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
     g = g._replace(
         poses=g.poses.at[new_idx].set(pose),
         pose_mask=g.pose_mask.at[new_idx].set(True))
-    state = state._replace(store=store, graph=g)
+    # Scan Context descriptor of the body-frame scan (SINGLE_SCAN_FULL,
+    # makeAndSaveScancontextAndKeys :2156)
+    desc = sc_mod.make_descriptor(
+        scan_ds.xyz, scan_ds.mask,
+        max_radius=cfg.loop.sc_max_radius, lidar_height=cfg.loop.sc_lidar_height,
+        num_ring=cfg.static.sc_num_ring, num_sector=cfg.static.sc_num_sector)
+    state = state._replace(store=store, graph=g,
+                           sc_db=sc_mod.add_descriptor(state.sc_db, desc))
 
     # loop + GPS factors
     state = _consume_pending_loops(state, cfg)

@@ -1,0 +1,143 @@
+"""Loop-closure detection + verification.
+
+Rebuild of the reference's 1 Hz loop thread (`mapOptmization.cpp:1054-1436`):
+
+- `detectLoopClosureDistance` (:1271-1304): kd-tree radius search (15 m) over
+  keyframe positions with a >30 s time gap — here a masked distance argmin.
+- `performSCLoopClosure` (:1163-1269): Scan Context retrieval
+  (ops/scancontext.py) with the matched yaw as the ICP initial guess.
+- `loopFindNearKeyframes` (:1360-1383): +-25-keyframe submap assembly.
+- ICP verification (:1111-1124): the reference runs pcl::IterativeClosestPoint
+  (point-to-point, 100 iters, maxCorrDist 30); we reuse the point-to-plane GN
+  registration kernel, which converges in far fewer iterations on the same
+  submaps.  Accept when the weighted mean residual < fitness gate.
+- accepted constraints are queued into `LioState.pend_*` and consumed by the
+  next mapping step's `addLoopFactor` (pipeline/lio.py), matching the
+  reference's queue-under-mutex handoff.
+
+Cadence is the host's job (the reference uses a thread at 0.2-1 Hz; the
+runner calls `detect_loops` every N scans).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lio_slam_tpu.config import Config
+from lio_slam_tpu.ops import registration as reg
+from lio_slam_tpu.ops import scancontext as sc
+from lio_slam_tpu.pipeline import lio as lio_mod
+from lio_slam_tpu.utils import pointcloud as pc
+from lio_slam_tpu.utils import se3
+
+
+def _submap_around(store, center_idx, search_num: int, capacity: int,
+                   leaf: float) -> pc.Cloud:
+    """loopFindNearKeyframes: clouds of keyframes [center-n, center+n],
+    transformed to world, merged + downsampled."""
+    K, P, _ = store.clouds.shape
+    lo = jnp.clip(center_idx - search_num, 0, K - 1)
+    take = 2 * search_num + 1
+    idx = jnp.clip(lo + jnp.arange(take), 0, K - 1)
+    valid_kf = (idx < store.count) & (idx >= 0)
+    poses = store.poses[idx]
+    clouds = store.clouds[idx]
+    masks = store.cloud_masks[idx] & valid_kf[:, None]
+    R, t = se3.pose6_to_Rt(poses)
+    world = jnp.einsum("sij,spj->spi", R, clouds) + t[:, None, :]
+    merged = pc.Cloud(xyz=world.reshape(-1, 3), mask=masks.reshape(-1))
+    return pc.voxel_downsample(merged, leaf, capacity)
+
+
+def make_loop_detector(cfg: Config):
+    l = cfg.loop
+    s = cfg.static
+
+    @jax.jit
+    def detect_loops(state: lio_mod.LioState) -> lio_mod.LioState:
+        store = state.store
+        K = store.poses.shape[0]
+        cur = store.count - 1
+        runnable = (store.count > l.sc_exclude_recent) & (cur != state.last_loop_kf)
+
+        cur_pose = store.poses[jnp.maximum(cur, 0)]
+        cur_stamp = store.stamps[jnp.maximum(cur, 0)]
+        cur_cloud = pc.Cloud(xyz=store.clouds[jnp.maximum(cur, 0)],
+                             mask=store.cloud_masks[jnp.maximum(cur, 0)])
+
+        # --- RS candidate: nearest keyframe within radius, >30 s older ---
+        kf_mask = jnp.arange(K) < store.count
+        d2 = jnp.sum((store.poses[:, 3:] - cur_pose[3:]) ** 2, axis=-1)
+        old_enough = (cur_stamp - store.stamps) > l.time_diff
+        rs_elig = kf_mask & old_enough & (d2 < l.search_radius ** 2)
+        rs_idx = jnp.argmin(jnp.where(rs_elig, d2, jnp.inf))
+        rs_found = jnp.any(rs_elig)
+
+        # --- SC candidate ---
+        match = sc.detect(state.sc_db,
+                          state.sc_db.descriptors[jnp.maximum(cur, 0)],
+                          dist_threshold=l.sc_dist_thresh,
+                          num_candidates=cfg.static.sc_candidates,
+                          exclude_recent=l.sc_exclude_recent)
+        sc_found = match.index >= 0
+
+        def verify(cand_idx, init_pose):
+            """ICP-verify cur against the candidate submap; returns
+            (accept, measured between cur->cand, info)."""
+            submap = _submap_around(store, cand_idx, l.search_num,
+                                    s.icp_submap_points,
+                                    cfg.registration.mapping_surf_leaf_size)
+            r = reg.register(cur_cloud.xyz, cur_cloud.mask,
+                             submap.xyz, submap.mask, init_pose,
+                             cfg.registration)
+            fitness = r.mean_residual
+            ok = r.converged & (fitness < l.fitness_score) & (r.num_inliers > 100)
+            pose_from = r.pose                       # corrected current pose
+            pose_to = store.poses[cand_idx]
+            meas = se3.pose6_between(pose_from, pose_to)
+            info = jnp.full(6, 1.0 / jnp.maximum(fitness, 1e-3) ** 2)
+            return ok, meas, info
+
+        def queue(state, add, j_idx, meas, info):
+            slot = jnp.argmin(state.pend_mask)      # first free slot
+            free = ~state.pend_mask[slot]
+            add = add & free
+            return state._replace(
+                pend_i=jnp.where(add, state.pend_i.at[slot].set(cur), state.pend_i),
+                pend_j=jnp.where(add, state.pend_j.at[slot].set(j_idx), state.pend_j),
+                pend_meas=jnp.where(add, state.pend_meas.at[slot].set(meas),
+                                    state.pend_meas),
+                pend_info=jnp.where(add, state.pend_info.at[slot].set(info),
+                                    state.pend_info),
+                pend_mask=jnp.where(add, state.pend_mask.at[slot].set(True),
+                                    state.pend_mask))
+
+        def run_rs(state):
+            ok, meas, info = verify(rs_idx, cur_pose)
+            return queue(state, ok, rs_idx, meas, info), ok
+
+        def run_sc(state):
+            # SC yaw as initial guess rotation about z at the current pose
+            yaw_fix = jnp.array([0.0, 0.0, match.yaw, 0.0, 0.0, 0.0])
+            init = se3.pose6_compose(cur_pose, yaw_fix)
+            ok, meas, info = verify(jnp.maximum(match.index, 0), init)
+            return queue(state, ok, jnp.maximum(match.index, 0), meas, info), ok
+
+        def attempt(state):
+            state, rs_ok = jax.lax.cond(
+                rs_found, run_rs, lambda st: (st, jnp.zeros((), bool)), state)
+            # SC path only if it found a different candidate than RS
+            sc_new = sc_found & (match.index != rs_idx)
+            state, sc_ok = jax.lax.cond(
+                sc_new, run_sc, lambda st: (st, jnp.zeros((), bool)), state)
+            found = rs_ok | sc_ok
+            return state._replace(
+                last_loop_kf=jnp.where(found, cur, state.last_loop_kf))
+
+        return jax.lax.cond(runnable & (rs_found | sc_found),
+                            attempt, lambda st: st, state)
+
+    return detect_loops

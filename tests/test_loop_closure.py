@@ -1,0 +1,105 @@
+"""Loop-closure mechanism test: circular revisit -> RS/SC detection -> ICP
+verification -> factor consumed by the next mapping step."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lio_slam_tpu.config import (Config, LoopClosureConfig, RegistrationConfig,
+                                 StaticConfig)
+from lio_slam_tpu.io import synthetic
+from lio_slam_tpu.pipeline import lio, loop_closure
+from lio_slam_tpu.utils import pointcloud as pc, se3
+
+
+def loop_config():
+    return Config(
+        static=StaticConfig(
+            max_raw_points=4096, max_scan_points=4096, max_map_points=16384,
+            max_keyframes=64, max_keyframe_points=2048,
+            max_loop_queue=4, max_gps_queue=4, window_size=16,
+            icp_submap_points=8192),
+        registration=RegistrationConfig(degeneracy_eig_thresh=10.0),
+        loop=LoopClosureConfig(time_diff=2.0, sc_exclude_recent=4,
+                               search_radius=5.0, search_num=3,
+                               fitness_score=0.3),
+    )
+
+
+def circle_poses(n, radius=6.0, dt=0.4):
+    """Closed circular trajectory revisiting the start."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    x = radius * np.cos(ang) - radius
+    y = radius * np.sin(ang)
+    yaw = ang + np.pi / 2
+    poses = np.stack([np.zeros(n), np.zeros(n), yaw, x, y,
+                      np.full(n, 0.0)], 1).astype(np.float32)
+    stamps = np.arange(n, dtype=np.float32) * dt
+    return poses, stamps
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    cfg = loop_config()
+    n = 22
+    poses, stamps = circle_poses(n)
+    world = synthetic.make_world(seed=0, extent=40.0, n_per_surface=40000)
+    rs = np.random.RandomState(5)
+    step = lio.make_lio_step(cfg)
+    detector = loop_closure.make_loop_detector(cfg)
+    state = lio.init_state(cfg)
+    prev = None
+    for i in range(n):
+        scan, mask = synthetic.observe(world, poses[i], 4096, rng=rs)
+        if i == 0:
+            guess = np.zeros(6, np.float32); gvalid = False
+        else:
+            inc = se3.pose6_between(jnp.asarray(poses[i - 1]), jnp.asarray(poses[i]))
+            guess = np.asarray(se3.pose6_compose(jnp.asarray(prev), inc))
+            gvalid = True
+        inp = lio.ScanInput(
+            cloud=pc.Cloud(xyz=jnp.asarray(scan), mask=jnp.asarray(mask)),
+            stamp=jnp.float32(stamps[i]), init_guess=jnp.asarray(guess),
+            guess_valid=jnp.asarray(gvalid),
+            imu_rpy=jnp.asarray(poses[i, :3]), imu_available=jnp.asarray(True),
+            gps_pos=jnp.zeros(3), gps_info=jnp.zeros(3),
+            gps_valid=jnp.asarray(False))
+        state, out = step(state, inp)
+        prev = np.asarray(out.pose)
+        # loop thread cadence: every 3 scans once far enough along
+        if i >= n - 6:
+            state = detector(state)
+    # one more mapping step to consume any queued loop factor
+    scan, mask = synthetic.observe(world, poses[0], 4096, rng=rs)
+    inp = lio.ScanInput(
+        cloud=pc.Cloud(xyz=jnp.asarray(scan), mask=jnp.asarray(mask)),
+        stamp=jnp.float32(stamps[-1] + 0.4),
+        init_guess=jnp.asarray(se3.pose6_compose(
+            jnp.asarray(prev), se3.pose6_between(jnp.asarray(poses[-1]),
+                                                 jnp.asarray(poses[0])))),
+        guess_valid=jnp.asarray(True), imu_rpy=jnp.asarray(poses[0, :3]),
+        imu_available=jnp.asarray(True), gps_pos=jnp.zeros(3),
+        gps_info=jnp.zeros(3), gps_valid=jnp.asarray(False))
+    state, out = step(state, inp)
+    return cfg, state, out
+
+
+def test_loop_detected_and_consumed(loop_run):
+    cfg, state, out = loop_run
+    assert int(state.loop_count) >= 1, "no loop factor was accepted"
+    K = cfg.static.max_keyframes
+    loop_region = np.asarray(state.graph.bt_mask[K - 1:])
+    assert loop_region.sum() >= 1
+    assert not bool(state.pend_mask.any())          # queue drained
+
+
+def test_poses_stay_consistent_after_loop(loop_run):
+    cfg, state, out = loop_run
+    n_kf = int(state.store.count)
+    poses = np.asarray(state.store.poses[:n_kf])
+    assert np.isfinite(poses).all()
+    # trajectory is a ~6 m-radius circle: all keyframes within a sane bound
+    assert np.abs(poses[:, 3:]).max() < 25.0
+    # store mirrors graph after correction
+    np.testing.assert_allclose(poses, np.asarray(state.graph.poses[:n_kf]),
+                               atol=1e-5)
