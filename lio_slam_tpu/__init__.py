@@ -30,4 +30,18 @@ import jax as _jax
 # geometric ones) opt in explicitly via `precision=` at the call site.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the full mapping step is a large XLA program
+# (~1-3 min first compile on the TPU tunnel); cache compiled executables on
+# disk so replays, tests, and the bench driver skip recompilation.
+import os as _os
+
+_cache_dir = _os.environ.get("LIO_SLAM_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/lio_slam_tpu_xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from lio_slam_tpu import config as config  # noqa: F401

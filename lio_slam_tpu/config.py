@@ -303,3 +303,82 @@ def get_config(name: str = "default") -> Config:
         return PRESETS[name]()
     except KeyError:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+
+
+# ---------------------------------------------------------------------------
+# YAML loading — accepts the reference's parameter names (config/*.yaml under
+# the `liorf:` namespace, loaded by ParamServer utility.h:199-331) so users
+# can bring their existing tuning files across.
+# ---------------------------------------------------------------------------
+
+# reference param name -> (section, field, transform)
+_REF_PARAM_MAP = {
+    "sensor": ("lidar", "sensor", str),
+    "N_SCAN": ("lidar", "n_scan", int),
+    "Horizon_SCAN": ("lidar", "horizon_scan", int),
+    "downsampleRate": ("lidar", "downsample_rate", int),
+    "point_filter_num": ("lidar", "point_filter_num", int),
+    "lidarMinRange": ("lidar", "lidar_min_range", float),
+    "lidarMaxRange": ("lidar", "lidar_max_range", float),
+    "imuType": ("imu", "imu_type", int),
+    "imuRate": ("imu", "imu_rate", float),
+    "imuAccNoise": ("imu", "acc_noise", float),
+    "imuGyrNoise": ("imu", "gyr_noise", float),
+    "imuAccBiasN": ("imu", "acc_bias_noise", float),
+    "imuGyrBiasN": ("imu", "gyr_bias_noise", float),
+    "imuGravity": ("imu", "gravity", float),
+    "imuRPYWeight": ("imu", "imu_rpy_weight", float),
+    "extrinsicRot": ("imu", "ext_rot", lambda v: tuple(float(x) for x in v)),
+    "extrinsicRPY": ("imu", "ext_rpy", lambda v: tuple(float(x) for x in v)),
+    "extrinsicTrans": ("imu", "ext_trans", lambda v: tuple(float(x) for x in v)),
+    "mappingSurfLeafSize": ("registration", "mapping_surf_leaf_size", float),
+    "surroundingKeyframeDensity": ("registration", "surrounding_leaf_size", float),
+    "surroundingKeyframeSearchRadius": ("registration", "surrounding_radius", float),
+    "z_tollerance": ("registration", "z_tolerance", float),
+    "rotation_tollerance": ("registration", "rotation_tolerance", float),
+    "surroundingkeyframeAddingDistThreshold": ("keyframe", "dist_threshold", float),
+    "surroundingkeyframeAddingAngleThreshold": ("keyframe", "angle_threshold", float),
+    "useGPS": ("gps", "use_gps", bool),
+    "useGpsElevation": ("gps", "use_gps_elevation", bool),
+    "gpsCovThreshold": ("gps", "gps_cov_threshold", float),
+    "poseCovThreshold": ("gps", "pose_cov_threshold", float),
+    "gpsDistanceFrequency": ("gps", "gps_distance_frequency", float),
+    "gpsWaitingTimeThreshold": ("gps", "gps_waiting_time", float),
+    "gpsDataWaitingTimeThreshold": ("gps", "gps_data_waiting_time", float),
+    "loopClosureEnableFlag": ("loop", "enabled", bool),
+    "loopClosureFrequency": ("loop", "frequency", float),
+    "historyKeyframeSearchRadius": ("loop", "search_radius", float),
+    "historyKeyframeSearchTimeDiff": ("loop", "time_diff", float),
+    "historyKeyframeSearchNum": ("loop", "search_num", int),
+    "historyKeyframeFitnessScore": ("loop", "fitness_score", float),
+    "savePCD": ("output", "save_pcd", bool),
+    "savePCDDirectory": ("output", "save_directory", str),
+}
+
+
+def config_from_dict(params: dict, base: "Config" = None) -> Config:
+    """Build a Config from a flat dict of reference-style parameter names."""
+    cfg = base or Config()
+    updates: dict = {}
+    for key, value in params.items():
+        if key not in _REF_PARAM_MAP:
+            continue
+        section, fieldname, transform = _REF_PARAM_MAP[key]
+        updates.setdefault(section, {})[fieldname] = transform(value)
+    for section, fields in updates.items():
+        sub = getattr(cfg, section)
+        cfg = dataclasses.replace(cfg, **{section: dataclasses.replace(sub, **fields)})
+    return cfg
+
+
+def config_from_yaml(path: str, base: "Config" = None) -> Config:
+    """Load a reference-format YAML (`liorf:` namespace or flat)."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    if isinstance(doc, dict) and "liorf" in doc:
+        doc = doc["liorf"]
+        if isinstance(doc, dict) and "ros__parameters" in doc:
+            doc = doc["ros__parameters"]
+    return config_from_dict(doc or {}, base)

@@ -155,6 +155,97 @@ def marginal_covariance(graph: F.PoseGraph, idx: jax.Array) -> jax.Array:
     return cols[rows.astype(jnp.int32), :]
 
 
+@partial(jax.jit, static_argnames=("window", "iterations"))
+def solve_window_compact(graph: F.PoseGraph, count: jax.Array,
+                         window: int, iterations: int = 2) -> F.PoseGraph:
+    """Sliding-window GN whose cost is independent of graph capacity.
+
+    Extracts the last `window` keyframes and every factor touching them into
+    a compact (window*6)^2 dense system; poses outside the window are held
+    fixed (their side of a factor contributes error but no Jacobian block) —
+    the standard fixed-lag approximation of iSAM2's incremental update.
+    The full-graph `solve()` handles loop corrections.
+    """
+    K = graph.poses.shape[0]
+    W = window
+    start = jnp.maximum(count - W, 0)
+    g_idx = start + jnp.arange(W)                 # global index per local slot
+    local_of = lambda g: g - start                # global -> local
+    slot_ok = g_idx < count
+
+    def one_between(pi, pj, meas):
+        e = F.between_error(pi, pj, F.Z6(), F.Z6(), meas)
+        Ji = F._between_jac_i(pi, pj, F.Z6(), F.Z6(), meas)
+        Jj = F._between_jac_j(pi, pj, F.Z6(), F.Z6(), meas)
+        return e, Ji, Jj
+
+    def gn_iter(_, g: F.PoseGraph) -> F.PoseGraph:
+        dtype = g.poses.dtype
+        H = jnp.zeros((W + 1, W + 1, 6, 6), dtype)   # +1 dump slot
+        b = jnp.zeros((W + 1, 6), dtype)
+
+        # prior on keyframe 0 (only in-window while count <= W)
+        e0, J0 = F.linearize_prior(g)
+        l0 = jnp.clip(local_of(0), -1, W)
+        l0 = jnp.where((l0 >= 0) & (l0 < W), l0, W)
+        w0 = g.prior_info
+        H = H.at[l0, l0].add(_weighted_block(J0, w0))
+        b = b.at[l0].add(-J0.T @ (w0 * e0))
+
+        # between factors (odometry + loops)
+        eb, Ji, Jj = jax.vmap(one_between)(g.poses[g.bt_i], g.poses[g.bt_j],
+                                           g.bt_meas)
+        li = local_of(g.bt_i)
+        lj = local_of(g.bt_j)
+        in_i = (li >= 0) & (li < W) & g.bt_mask
+        in_j = (lj >= 0) & (lj < W) & g.bt_mask
+        li = jnp.where(in_i, li, W)
+        lj = jnp.where(in_j, lj, W)
+        wb = g.bt_info * g.bt_mask[:, None]
+        wb_i = wb * in_i[:, None]
+        wb_j = wb * in_j[:, None]
+        H = H.at[li, li].add(_weighted_block(Ji, wb_i))
+        H = H.at[lj, lj].add(_weighted_block(Jj, wb_j))
+        Hij = jnp.einsum("bri,br,brj->bij", Ji, wb * (in_i & in_j)[:, None], Jj)
+        H = H.at[li, lj].add(Hij)
+        H = H.at[lj, li].add(jnp.swapaxes(Hij, -1, -2))
+        b = b.at[li].add(-jnp.einsum("bri,br,br->bi", Ji, wb_i, eb))
+        b = b.at[lj].add(-jnp.einsum("bri,br,br->bi", Jj, wb_j, eb))
+
+        # gps factors
+        eg, Jg = F.linearize_gps(g)
+        lg = local_of(g.gps_i)
+        in_g = (lg >= 0) & (lg < W) & g.gps_mask
+        lg = jnp.where(in_g, lg, W)
+        wg = g.gps_info * in_g[:, None]
+        H = H.at[lg, lg].add(_weighted_block(Jg, wg))
+        b = b.at[lg].add(-jnp.einsum("gri,gr,gr->gi", Jg, wg, eg))
+
+        H = H[:W, :W]
+        b = b[:W]
+        act = slot_ok.astype(dtype)
+        H = H * act[:, None, None, None] * act[None, :, None, None]
+        eye6 = jnp.eye(6, dtype=dtype)
+        H = H + jnp.einsum("k,ij->kij", 1.0 - act, eye6)[:, None] * \
+            jnp.eye(W, dtype=dtype)[:, :, None, None]
+        Hd = H.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+        bd = (b * act[:, None]).reshape(W * 6)
+
+        delta = _equilibrated_cholesky_solve(Hd, bd).reshape(W, 6)
+        delta = jnp.where(slot_ok[:, None], delta, 0.0)
+
+        # retract window poses back into the full array
+        R, t = se3.pose6_to_Rt(g.poses[g_idx])
+        dR, dt = se3.se3_exp(delta)
+        Rn, tn = se3.compose(R, t, dR, dt)
+        new_poses = g.poses.at[g_idx].set(
+            jnp.where(slot_ok[:, None], se3.Rt_to_pose6(Rn, tn),
+                      g.poses[g_idx]))
+        return g._replace(poses=new_poses)
+
+    return jax.lax.fori_loop(0, iterations, gn_iter, graph)
+
+
 def window_mask(pose_mask: jax.Array, num_keyframes: jax.Array,
                 window: int) -> jax.Array:
     """Mask of the last `window` active keyframes (sliding-window solve)."""

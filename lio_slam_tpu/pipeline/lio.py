@@ -44,6 +44,7 @@ class LioState(NamedTuple):
     map_grid: vg.HashGrid      # persistent world-frame voxel map (incremental mode)
     sc_db: "sc_mod.ScanContextDB"  # Scan Context descriptors per keyframe
     last_loop_kf: jax.Array    # () int32 keyframe of the last accepted loop
+    needs_full_solve: jax.Array  # () bool — loop factors await a full-graph solve
     loop_count: jax.Array      # () int32 loop factors accepted so far
     gps_count: jax.Array       # () int32 GPS factors added so far
     pose: jax.Array            # (6,) current transformTobeMapped
@@ -105,6 +106,7 @@ def init_state(cfg: Config) -> LioState:
                                cfg.registration.grid_max_per_cell),
         sc_db=sc_mod.empty_db(K, s.sc_num_ring, s.sc_num_sector),
         last_loop_kf=jnp.full((), -1, jnp.int32),
+        needs_full_solve=jnp.zeros((), bool),
         loop_count=jnp.zeros((), jnp.int32),
         gps_count=jnp.zeros((), jnp.int32),
         pose=jnp.zeros(6, jnp.float32),
@@ -170,24 +172,27 @@ def _consume_pending_loops(state: LioState, cfg: Config) -> LioState:
     g = state.graph
     K = state.store.poses.shape[0]
     Q = state.pend_mask.shape[0]
+    B = g.bt_i.shape[0]
     base = K - 1
     n_loops = state.loop_count
-    offsets = jnp.cumsum(state.pend_mask.astype(jnp.int32)) - 1
-    slots = jnp.clip(base + n_loops + offsets, 0, g.bt_i.shape[0] - 1)
     put = state.pend_mask
+    offsets = jnp.cumsum(put.astype(jnp.int32)) - 1
+    # masked queue entries go to a dump row (index B) — scattering them to a
+    # real slot would race the genuine write (duplicate-index scatter order
+    # is unspecified)
+    slots = jnp.where(put, jnp.clip(base + n_loops + offsets, 0, B - 1), B)
 
-    def scatter(arr, vals):
-        return arr.at[slots].set(jnp.where(put[..., None] if arr.ndim > 1 else put,
-                                           vals, arr[slots]))
+    def scat(arr, vals):
+        pad_shape = (1,) + arr.shape[1:]
+        padded = jnp.concatenate([arr, jnp.zeros(pad_shape, arr.dtype)], axis=0)
+        return padded.at[slots].set(vals)[:B]
 
     g = g._replace(
-        bt_i=g.bt_i.at[slots].set(jnp.where(put, state.pend_i, g.bt_i[slots])),
-        bt_j=g.bt_j.at[slots].set(jnp.where(put, state.pend_j, g.bt_j[slots])),
-        bt_meas=g.bt_meas.at[slots].set(
-            jnp.where(put[:, None], state.pend_meas, g.bt_meas[slots])),
-        bt_info=g.bt_info.at[slots].set(
-            jnp.where(put[:, None], state.pend_info, g.bt_info[slots])),
-        bt_mask=g.bt_mask.at[slots].set(put | g.bt_mask[slots]),
+        bt_i=scat(g.bt_i, state.pend_i),
+        bt_j=scat(g.bt_j, state.pend_j),
+        bt_meas=scat(g.bt_meas, state.pend_meas),
+        bt_info=scat(g.bt_info, state.pend_info),
+        bt_mask=scat(g.bt_mask, jnp.ones(Q, bool)),
     )
     n_added = jnp.sum(put.astype(jnp.int32))
     return state._replace(
@@ -242,49 +247,62 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
     if cfg.gps.use_gps:
         state = _add_gps_factor(state, inp, new_idx, cfg)
 
-    # solve: window GN x2 normally; full graph with extra iterations after a
-    # loop/GPS event (isam update x2 + x5, :2082-2092)
+    # sliding-window GN x2 per keyframe (cost independent of graph capacity);
+    # a loop event defers to the full-graph correction (make_full_correction,
+    # invoked by the host — the reference's correctPoses runs on the mapping
+    # thread after its separate loop thread queues factors, same structure)
     g = state.graph
-    big_update = state.loop_closed | (state.gps_count > 0) & inp.gps_valid
-    window = solver.window_mask(g.pose_mask, store.count, cfg.static.window_size)
+    g = solver.solve_window_compact(g, store.count, cfg.static.window_size,
+                                    iterations=2)
 
-    def small(_):
-        return solver.solve(g, window, iterations=2).graph
-
-    def big(_):
-        return solver.solve(g, g.pose_mask, iterations=5).graph
-
-    g = jax.lax.cond(big_update, big, small, None)
-
-    # correctPoses: keyframe store always mirrors the optimized estimate
+    # correctPoses (window scope): keyframe store mirrors the optimized poses
     store = store._replace(poses=jnp.where(
         g.pose_mask[:, None], g.poses, store.poses))
     new_pose = g.poses[new_idx]
 
     # incremental voxel map maintenance: insert this keyframe's cloud at its
-    # optimized pose; after a loop closure every pose moved, so rebuild the
-    # map from the corrected keyframe store (correctPoses' cache-clear analog)
+    # optimized pose (the full rebuild happens in the full correction)
     if cfg.registration.local_map_mode == "incremental":
         Rn, tn = se3.pose6_to_Rt(new_pose)
         world_pts = se3.transform_points(Rn, tn, scan_ds.xyz)
-
-        def rebuild(_):
-            all_world = kf.transform_keyframe_clouds(store)       # (K, P, 3)
-            flat = all_world.reshape(-1, 3)
-            flat_mask = store.cloud_masks.reshape(-1)
-            return vg.build_grid(flat, flat_mask,
-                                 cfg.registration.nn_radius,
-                                 cfg.registration.grid_table_size,
-                                 cfg.registration.grid_max_per_cell)
-
-        def insert(_):
-            return vg.insert_points(state.map_grid, world_pts, scan_ds.mask)
-
-        grid = jax.lax.cond(state.loop_closed, rebuild, insert, None)
-        state = state._replace(map_grid=grid)
+        state = state._replace(
+            map_grid=vg.insert_points(state.map_grid, world_pts, scan_ds.mask))
 
     return state._replace(store=store, graph=g, pose=new_pose,
+                          needs_full_solve=state.needs_full_solve | state.loop_closed,
                           loop_closed=jnp.zeros((), bool))
+
+
+def make_full_correction(cfg: Config):
+    """Full-graph GN after loop closures (correctPoses, :2173-2204 + the
+    isam x5 extra updates, :2085-2092): re-solve every pose, sync the store,
+    rebuild the incremental voxel map from the corrected keyframes.  Host
+    code calls this when `state.needs_full_solve` is set — it is a separate
+    compiled program so the per-scan step stays small."""
+
+    @jax.jit
+    def full_correct(state: LioState) -> LioState:
+        def run(state: LioState) -> LioState:
+            g = solver.solve(state.graph, state.graph.pose_mask,
+                             iterations=5).graph
+            store = state.store._replace(poses=jnp.where(
+                g.pose_mask[:, None], g.poses, state.store.poses))
+            state = state._replace(graph=g, store=store,
+                                   pose=g.poses[jnp.maximum(store.count - 1, 0)],
+                                   needs_full_solve=jnp.zeros((), bool))
+            if cfg.registration.local_map_mode == "incremental":
+                all_world = kf.transform_keyframe_clouds(store)
+                grid = vg.build_grid(all_world.reshape(-1, 3),
+                                     store.cloud_masks.reshape(-1),
+                                     cfg.registration.nn_radius,
+                                     cfg.registration.grid_table_size,
+                                     cfg.registration.grid_max_per_cell)
+                state = state._replace(map_grid=grid)
+            return state
+
+        return jax.lax.cond(state.needs_full_solve, run, lambda st: st, state)
+
+    return full_correct
 
 
 def make_lio_step(cfg: Config):

@@ -115,27 +115,20 @@ def make_loop_detector(cfg: Config):
                 pend_mask=jnp.where(add, state.pend_mask.at[slot].set(True),
                                     state.pend_mask))
 
-        def run_rs(state):
-            ok, meas, info = verify(rs_idx, cur_pose)
-            return queue(state, ok, rs_idx, meas, info), ok
-
-        def run_sc(state):
-            # SC yaw as initial guess rotation about z at the current pose
-            yaw_fix = jnp.array([0.0, 0.0, match.yaw, 0.0, 0.0, 0.0])
-            init = se3.pose6_compose(cur_pose, yaw_fix)
-            ok, meas, info = verify(jnp.maximum(match.index, 0), init)
-            return queue(state, ok, jnp.maximum(match.index, 0), meas, info), ok
-
         def attempt(state):
-            state, rs_ok = jax.lax.cond(
-                rs_found, run_rs, lambda st: (st, jnp.zeros((), bool)), state)
-            # SC path only if it found a different candidate than RS
-            sc_new = sc_found & (match.index != rs_idx)
-            state, sc_ok = jax.lax.cond(
-                sc_new, run_sc, lambda st: (st, jnp.zeros((), bool)), state)
-            found = rs_ok | sc_ok
+            # one verification per detector cycle on the preferred candidate
+            # (RS first like the reference's thread order; SC when RS found
+            # nothing) — a single shared `verify` instance keeps the compiled
+            # program half the size of separate RS/SC branches
+            use_rs = rs_found
+            cand = jnp.where(use_rs, rs_idx, jnp.maximum(match.index, 0))
+            yaw_fix = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0]) * match.yaw
+            init = jnp.where(use_rs, cur_pose,
+                             se3.pose6_compose(cur_pose, yaw_fix))
+            ok, meas, info = verify(cand, init)
+            state = queue(state, ok, cand, meas, info)
             return state._replace(
-                last_loop_kf=jnp.where(found, cur, state.last_loop_kf))
+                last_loop_kf=jnp.where(ok, cur, state.last_loop_kf))
 
         return jax.lax.cond(runnable & (rs_found | sc_found),
                             attempt, lambda st: st, state)

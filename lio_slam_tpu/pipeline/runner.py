@@ -1,0 +1,266 @@
+"""Host-side mission runner: the user-facing entry point.
+
+Plays the role of the reference's launch-file + 4-node ROS graph
+(`launch/module_loam.launch`): wires sensor adaptation, deskew, the per-scan
+mapping step, the IMU front-end, the loop-closure cadence, GPS fusion, and
+the map products into one object driven scan-by-scan — or replays a recorded
+/ synthetic sequence.
+
+CLI:
+    python -m lio_slam_tpu.pipeline.runner --synthetic --scans 40
+    python -m lio_slam_tpu.pipeline.runner --npz sequence.npz --save-map /tmp/maps
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lio_slam_tpu.config import Config, get_config
+from lio_slam_tpu.io import formats
+from lio_slam_tpu.ops import deskew as deskew_mod
+from lio_slam_tpu.pipeline import gps_fusion as gf
+from lio_slam_tpu.pipeline import imu_frontend as fe
+from lio_slam_tpu.pipeline import lio
+from lio_slam_tpu.pipeline import loop_closure
+from lio_slam_tpu.pipeline import outputs
+from lio_slam_tpu.utils import pointcloud as pc
+from lio_slam_tpu.utils import se3
+
+
+@dataclass
+class ScanResult:
+    pose: np.ndarray           # (6,) map-frame odometry
+    incremental: np.ndarray    # (6,)
+    degenerate: bool
+    is_keyframe: bool
+    num_inliers: int
+    positioning_mode: int
+    imu_rate_poses: Optional[np.ndarray] = None   # (T, 6) odometry/imu stream
+
+
+class Runner:
+    def __init__(self, cfg: Optional[Config] = None, loop_every: int = 10):
+        self.cfg = cfg or get_config("default")
+        self.loop_every = loop_every
+        self.step = lio.make_lio_step(self.cfg)
+        self.full_correct = lio.make_full_correction(self.cfg)
+        self.detector = loop_closure.make_loop_detector(self.cfg)
+        self.correct, self.predict_rate, self.transform_fusion = \
+            fe.make_frontend(self.cfg.imu)
+        self.local_map_fn, self.height_map_fn = outputs.make_local_map_fn(self.cfg)
+        self.state = lio.init_state(self.cfg)
+        self.imu_state = fe.init_state()
+        self.gps_intake = gf.GpsIntake(self.cfg.gps)
+        self.fsm = gf.PositioningModeFSM(self.cfg.gps)
+        self.scan_count = 0
+        self.trajectory: list[np.ndarray] = []
+        self.mapping_error = False
+        self._ext_R = np.asarray(self.cfg.imu.ext_rot, np.float32).reshape(3, 3)
+
+    # -- sensor feeds -----------------------------------------------------
+
+    def _prep_imu_window(self, imu: Optional[dict]):
+        """Pad an IMU window dict {acc (T,3), gyr (T,3), stamps (T,)} to the
+        static window size, rotating into the lidar frame (imuConverter,
+        utility.h:333-366)."""
+        W = self.cfg.static.max_imu_window
+        if imu is None or len(imu.get("stamps", [])) == 0:
+            return (jnp.zeros((W, 3)), jnp.zeros((W, 3)), jnp.zeros(W),
+                    jnp.zeros(W, bool), False)
+        acc = np.asarray(imu["acc"], np.float32) @ self._ext_R.T
+        gyr = np.asarray(imu["gyr"], np.float32) @ self._ext_R.T
+        stamps = np.asarray(imu["stamps"], np.float64)
+        dt = np.diff(stamps, prepend=stamps[0] - 1.0 / self.cfg.imu.imu_rate)
+        n = min(len(stamps), W)
+        pad = lambda a, sh: np.concatenate(
+            [a[:n], np.zeros((W - n,) + sh, a.dtype)])
+        return (jnp.asarray(pad(acc, (3,))), jnp.asarray(pad(gyr, (3,))),
+                jnp.asarray(pad(dt.astype(np.float32), ())),
+                jnp.asarray(np.arange(W) < n), True)
+
+    def _deskew(self, scan: formats.StandardScan, gyr, dts, mask, have_imu):
+        if not have_imu:
+            return scan.xyz
+        times = jnp.cumsum(dts) - dts[0]
+        table = deskew_mod.build_rotation_table(gyr, times, mask)
+        n = scan.xyz.shape[0]
+        out = deskew_mod.deskew(jnp.asarray(scan.xyz),
+                                jnp.asarray(scan.time), jnp.ones(n, bool),
+                                table)
+        return np.asarray(out)
+
+    # -- main per-scan entry ---------------------------------------------
+
+    def process_scan(self, scan: formats.StandardScan,
+                     imu: Optional[dict] = None,
+                     gps_fix: Optional[tuple] = None) -> ScanResult:
+        """gps_fix: optional (lat, lon, alt, status) tuple at ~scan time."""
+        cfg = self.cfg
+        acc, gyr, dts, imask, have_imu = self._prep_imu_window(imu)
+
+        xyz = self._deskew(scan, gyr, dts, imask, have_imu)
+        cap = cfg.static.max_raw_points
+        cloud = pc.pad_cloud(xyz[:cap], cap)
+        cloud = pc.filter_points(cloud, cfg.lidar.lidar_min_range,
+                                 cfg.lidar.lidar_max_range,
+                                 cfg.lidar.crop_box_min, cfg.lidar.crop_box_max)
+
+        # initial guess from the IMU front-end (odometry/imu_incremental role)
+        if bool(self.imu_state.initialized) and have_imu:
+            rate_poses = self.predict_rate(self.imu_state, acc, gyr, dts, imask)
+            guess = rate_poses[-1]
+            gvalid = True
+        else:
+            rate_poses = None
+            guess = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
+            gvalid = bool(self.trajectory)
+
+        # GPS
+        mode = gf.MODE_NORMAL
+        gps_pos = jnp.zeros(3)
+        gps_info = jnp.zeros(3)
+        gps_valid = False
+        if gps_fix is not None and cfg.gps.use_gps:
+            lat, lon, alt = gps_fix[:3]
+            status = gps_fix[3] if len(gps_fix) > 3 else 0
+            self.fsm.on_gps(scan.stamp)
+            mode = self.fsm.step(scan.stamp, now=scan.stamp)
+            obs = self.gps_intake.on_fix(scan.stamp, lat, lon, alt, status,
+                                         mode_normal=(mode == gf.MODE_NORMAL))
+            if obs is not None and obs.accurate:
+                gps_pos = jnp.asarray(obs.enu.astype(np.float32))
+                gps_info = jnp.asarray((1.0 / np.maximum(obs.covariance, 1e-3))
+                                       .astype(np.float32))
+                gps_valid = True
+
+        imu_rpy = jnp.zeros(3)
+        if have_imu and self.cfg.imu.imu_type == 1 and bool(self.imu_state.initialized):
+            imu_rpy = jnp.asarray(se3.matrix_to_rpy(self.imu_state.nav.R))
+
+        inp = lio.ScanInput(
+            cloud=cloud, stamp=jnp.float32(scan.stamp),
+            init_guess=jnp.asarray(guess), guess_valid=jnp.asarray(gvalid),
+            imu_rpy=imu_rpy, imu_available=jnp.asarray(have_imu),
+            gps_pos=gps_pos, gps_info=gps_info, gps_valid=jnp.asarray(gps_valid))
+        self.state, out = self.step(self.state, inp)
+        pose = np.asarray(out.pose)
+        self.trajectory.append(pose)
+
+        # IMU front-end correction with the mapping result
+        if have_imu:
+            self.imu_state = self.correct(self.imu_state, acc, gyr, dts, imask,
+                                          jnp.asarray(pose), out.degenerate)
+            self.mapping_error = bool(self.imu_state.failure)
+
+        # full-graph correction if the last keyframe consumed loop factors
+        if bool(self.state.needs_full_solve):
+            self.state = self.full_correct(self.state)
+
+        # loop-closure cadence (the reference's 0.2-1 Hz thread)
+        self.scan_count += 1
+        if (self.cfg.loop.enabled and
+                self.scan_count % self.loop_every == 0):
+            self.state = self.detector(self.state)
+
+        return ScanResult(
+            pose=pose, incremental=np.asarray(out.incremental),
+            degenerate=bool(out.degenerate), is_keyframe=bool(out.is_keyframe),
+            num_inliers=int(out.num_inliers), positioning_mode=mode,
+            imu_rate_poses=None if rate_poses is None else np.asarray(rate_poses))
+
+    # -- products ---------------------------------------------------------
+
+    def local_planning_map(self):
+        pose = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
+        return self.local_map_fn(self.state.store, pose)
+
+    def height_map(self):
+        pose = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
+        return self.height_map_fn(self.local_planning_map(), pose)
+
+    def save_map(self, destination: str, resolution: float = 0.0):
+        return outputs.save_map(self.state.store, destination, resolution)
+
+    def fusion_output(self, stamp: float):
+        pose = self.trajectory[-1] if self.trajectory else np.zeros(6)
+        return gf.fusion_gps_output(pose.astype(np.float64), stamp,
+                                    self.gps_intake.transform, self.fsm.mode)
+
+
+def _run_synthetic(args):
+    from lio_slam_tpu.io import synthetic
+    cfg = get_config(args.preset)
+    runner = Runner(cfg, loop_every=args.loop_every)
+    seq = synthetic.make_sequence(n_scans=args.scans, n_points=args.points,
+                                  seed=args.seed)
+    t0 = time.time()
+    est = []
+    for i in range(args.scans):
+        scan = formats.StandardScan(
+            xyz=seq.scans[i][seq.scan_masks[i]],
+            intensity=np.zeros(int(seq.scan_masks[i].sum()), np.float32),
+            ring=np.zeros(int(seq.scan_masks[i].sum()), np.uint16),
+            time=np.zeros(int(seq.scan_masks[i].sum()), np.float32),
+            stamp=float(seq.stamps[i]))
+        # synthetic IMU window between scans: finite-difference of truth poses
+        if i > 0:
+            inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
+                                               jnp.asarray(seq.poses[i])))
+            T = 10
+            dtau = (seq.stamps[i] - seq.stamps[i - 1]) / T
+            gyr = np.tile(inc[:3] / (T * dtau), (T, 1)).astype(np.float32)
+            acc = np.tile([0, 0, cfg.imu.gravity], (T, 1)).astype(np.float32)
+            stamps = seq.stamps[i - 1] + np.arange(1, T + 1) * dtau
+            imu = {"acc": acc, "gyr": gyr, "stamps": stamps}
+        else:
+            imu = None
+        r = runner.process_scan(scan, imu=imu)
+        est.append(r.pose)
+    elapsed = time.time() - t0
+    est = np.stack(est)
+    rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                                 jnp.asarray(p)))
+                    for p in seq.poses])
+    ate = synthetic.ate_rmse(est, rel)
+    summary = {
+        "scans": args.scans, "elapsed_s": round(elapsed, 2),
+        "scans_per_sec": round(args.scans / elapsed, 2),
+        "ate_rmse_m": round(float(ate), 4),
+        "keyframes": int(runner.state.store.count),
+        "loops": int(runner.state.loop_count),
+        "mapping_error": runner.mapping_error,
+    }
+    if args.save_map:
+        res = runner.save_map(args.save_map, resolution=0.4)
+        summary["saved"] = res.files
+    print(json.dumps(summary))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="lio_slam_tpu mission runner")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--scans", type=int, default=40)
+    ap.add_argument("--points", type=int, default=8192)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--preset", default="default")
+    ap.add_argument("--loop-every", type=int, default=10)
+    ap.add_argument("--save-map", default=None)
+    args = ap.parse_args()
+    if args.synthetic:
+        _run_synthetic(args)
+    else:
+        ap.error("only --synthetic replay is wired in this build; "
+                 "use the Runner API for live feeds")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,10 @@ def loop_run():
         imu_available=jnp.asarray(True), gps_pos=jnp.zeros(3),
         gps_info=jnp.zeros(3), gps_valid=jnp.asarray(False))
     state, out = step(state, inp)
+    # full-graph correction after loop factors were consumed
+    full_correct = lio.make_full_correction(cfg)
+    assert bool(state.needs_full_solve) or int(state.loop_count) == 0
+    state = full_correct(state)
     return cfg, state, out
 
 

@@ -1,0 +1,129 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lio_slam_tpu.config import Config, StaticConfig, OutputConfig
+from lio_slam_tpu.io import pcd as pcd_io
+from lio_slam_tpu.ops import heightmap as hm
+from lio_slam_tpu.pipeline import keyframes as kfm, outputs
+from lio_slam_tpu.utils import pointcloud as pc
+
+
+class TestPcd:
+    def test_binary_roundtrip(self, tmp_path):
+        rs = np.random.RandomState(0)
+        xyz = rs.randn(500, 3).astype(np.float32)
+        inten = rs.rand(500).astype(np.float32)
+        p = str(tmp_path / "a.pcd")
+        pcd_io.save_pcd(p, xyz, intensity=inten)
+        xyz2, attrs = pcd_io.load_pcd(p)
+        np.testing.assert_allclose(xyz, xyz2, atol=0)
+        np.testing.assert_allclose(inten, attrs["intensity"], atol=0)
+
+    def test_ascii_roundtrip(self, tmp_path):
+        xyz = np.array([[1.5, -2.0, 3.25], [0, 0, 0]], np.float32)
+        p = str(tmp_path / "b.pcd")
+        pcd_io.save_pcd(p, xyz, binary=False)
+        xyz2, _ = pcd_io.load_pcd(p)
+        np.testing.assert_allclose(xyz, xyz2, atol=1e-5)
+
+
+class TestHeightMap:
+    def test_rasterize_basic(self):
+        # two cells: flat patch at z=1 and a pillar at z=5
+        rs = np.random.RandomState(0)
+        flat = np.stack([rs.uniform(0, 1, 200), rs.uniform(0, 1, 200),
+                         np.full(200, 1.0)], 1).astype(np.float32)
+        pillar = np.array([[3.05, 3.05, 5.0]], np.float32)
+        xyz = jnp.asarray(np.concatenate([flat, pillar]))
+        out = hm.rasterize(xyz, jnp.ones(201, bool), jnp.zeros(2),
+                           resolution=0.5, shape=(32, 32))
+        e = np.asarray(out.elevation)
+        origin = np.asarray(out.origin)
+        i, j = int((3.05 - origin[0]) / 0.5), int((3.05 - origin[1]) / 0.5)
+        assert e[i, j] == pytest.approx(5.0)
+        i0, j0 = int((0.5 - origin[0]) / 0.5), int((0.5 - origin[1]) / 0.5)
+        assert e[i0, j0] == pytest.approx(1.0, abs=1e-5)
+        assert np.isnan(e[0, 0])          # far corner empty
+
+    def test_counts_and_minz(self):
+        xyz = jnp.asarray([[0.1, 0.1, 1.0], [0.15, 0.12, 3.0]])
+        out = hm.rasterize(xyz, jnp.ones(2, bool), jnp.zeros(2),
+                           resolution=1.0, shape=(8, 8))
+        c = np.asarray(out.count)
+        assert c.sum() == 2
+        ij = np.argwhere(c == 2)[0]
+        assert np.asarray(out.min_z)[ij[0], ij[1]] == pytest.approx(1.0)
+        assert np.asarray(out.elevation)[ij[0], ij[1]] == pytest.approx(3.0)
+
+    def test_inpaint(self):
+        xyz = jnp.asarray([[0.0, 0.0, 2.0]])
+        out = hm.rasterize(xyz, jnp.ones(1, bool), jnp.zeros(2),
+                           resolution=1.0, shape=(8, 8))
+        filled = hm.inpaint_nearest(out)
+        e = np.asarray(filled)
+        assert np.isfinite(e).sum() > 1   # neighbours got filled
+        assert np.nanmax(e) == pytest.approx(2.0)
+
+
+class TestSOR:
+    def test_outlier_removed(self):
+        rs = np.random.RandomState(1)
+        dense = rs.rand(300, 3).astype(np.float32) * 2
+        outlier = np.array([[50.0, 50.0, 50.0]], np.float32)
+        xyz = jnp.asarray(np.concatenate([dense, outlier]))
+        mask = jnp.ones(301, bool)
+        keep = outputs.statistical_outlier_mask(xyz, mask, mean_k=5,
+                                                stddev_mul=1.0)
+        assert not bool(keep[-1])
+        assert int(keep.sum()) > 250
+
+
+def make_store_with_ground(n_kf=4):
+    cfg = Config(static=StaticConfig(max_keyframes=16, max_keyframe_points=512))
+    store = kfm.empty_store(16, 512)
+    rs = np.random.RandomState(0)
+    for i in range(n_kf):
+        pts = np.stack([rs.uniform(-5, 5, 400), rs.uniform(-5, 5, 400),
+                        rs.randn(400) * 0.02], 1).astype(np.float32)
+        cloud = pc.pad_cloud(pts, 512)
+        pose = jnp.asarray(np.array([0, 0, 0, 2.0 * i, 0, 0], np.float32))
+        store = kfm.add_keyframe(store, pose, jnp.float32(i * 0.5), cloud)
+    return cfg, store
+
+
+class TestLocalMapAndSave:
+    def test_local_planning_map(self):
+        cfg, store = make_store_with_ground()
+        local_map_fn, height_fn = outputs.make_local_map_fn(cfg)
+        pose = jnp.asarray(np.array([0, 0, 0.3, 4.0, 0, 0], np.float32))
+        m = local_map_fn(store, pose)
+        assert int(m.count()) > 100
+        # all retained points inside the rotated box
+        kept = np.asarray(m.xyz[np.asarray(m.mask)])
+        rel = kept[:, :2] - np.array([4.0, 0])
+        c, s = np.cos(-0.3), np.sin(-0.3)
+        xr = rel[:, 0] * c - rel[:, 1] * s
+        yr = rel[:, 0] * s + rel[:, 1] * c
+        assert np.abs(xr).max() <= cfg.output.local_map_box[0] + 1e-3
+        assert np.abs(yr).max() <= cfg.output.local_map_box[1] + 1e-3
+        hmout = height_fn(m, pose)
+        assert np.isfinite(np.asarray(hmout.elevation)).sum() > 50
+
+    def test_save_map(self, tmp_path):
+        cfg, store = make_store_with_ground()
+        res = outputs.save_map(store, str(tmp_path / "maps"), resolution=0.4)
+        assert res.success
+        assert res.num_points > 100
+        for f in res.files:
+            assert os.path.exists(f)
+        xyz, attrs = pcd_io.load_pcd(str(tmp_path / "maps" / "trajectory.pcd"))
+        assert xyz.shape[0] == 4
+        np.testing.assert_allclose(attrs["intensity"], np.arange(4))
+
+    def test_save_empty_store(self, tmp_path):
+        store = kfm.empty_store(8, 64)
+        res = outputs.save_map(store, str(tmp_path / "m2"))
+        assert not res.success
