@@ -106,7 +106,9 @@ class RegistrationConfig:
     # neighbour-search backend: "grid" = voxel hash grid (production, O(N*27c));
     # "brute" = chunked MXU matmul top-k (exact oracle / fallback)
     knn_backend: str = "grid"
-    grid_max_per_cell: int = 16           # bucket occupancy cap
+    # bucket occupancy cap: a 0.4 m-downsampled plane crosses a 1 m cell with
+    # ~6 points, so 8 covers single-surface cells; query cost scales with it
+    grid_max_per_cell: int = 8
     grid_table_size: int = 32768          # hash buckets (power of two)
     # local-map maintenance: "incremental" keeps one persistent voxel map
     # updated on keyframe insertion (iVox-style; no per-scan rebuild, the

@@ -52,6 +52,55 @@ class RegistrationResult(NamedTuple):
     mean_residual: jax.Array  # () weighted mean |pd2| of last iteration
 
 
+def _smallest_eigpair_3x3(A: jax.Array):
+    """Closed-form smallest (eigenvalue, eigenvector) + middle eigenvalue of
+    batched symmetric 3x3 matrices (Smith's trigonometric method + row-cross
+    eigenvector).  XLA's batched `eigh` runs an iterative solver per matrix
+    (~29 ms for 8k on TPU v5e); this is pure element-wise VPU work (<1 ms).
+
+    Returns (lam_min (...), lam_mid (...), v_min (..., 3)).
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20) / 6.0)
+    inv_p = 1.0 / p
+    # det(B)/2 with B = (A - qI)/p
+    detB = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02)) * inv_p * inv_p * inv_p
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_max - lam_min
+    # eigenvector of lam_min: cross of two rows of (A - lam_min I); pick the
+    # most independent pair for stability
+    m = A - lam_min[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.stack([n01, n02, n12], axis=-1)
+    pick = jnp.argmax(best, axis=-1)
+    cands = jnp.stack([c01, c02, c12], axis=-2)            # (..., 3, 3)
+    v = jnp.take_along_axis(cands, pick[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.maximum(norm, 1e-12)
+    # isotropic/degenerate neighbourhoods: p2 ~ 0 — any direction; callers
+    # gate on lam_mid, so just return a unit z
+    iso = p2 < 1e-12
+    v = jnp.where(iso[..., None], jnp.array([0.0, 0.0, 1.0], A.dtype), v)
+    return lam_min, lam_mid, v
+
+
 def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
                plane_dist_thresh: float):
     """Least-squares plane through k neighbours: solve A·n = -1.
@@ -68,13 +117,12 @@ def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
     centroid = jnp.mean(A, axis=1, keepdims=True)       # (N, 1, 3)
     centered = A - centroid
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
-    eigval, eigvec = jnp.linalg.eigh(cov)               # ascending
-    normal = eigvec[..., 0]                             # (N, 3) smallest dir
+    _, lam_mid, normal = _smallest_eigpair_3x3(cov)
     offset = -jnp.einsum("ni,ni->n", normal, centroid[:, 0, :])
     # well-conditioned plane: require genuine in-plane spread (middle
     # eigenvalue = in-plane variance).  Near-collinear neighbourhoods would
     # otherwise yield arbitrary normals that still pass the distance gate.
-    safe = eigval[..., 1] > 1e-3
+    safe = lam_mid > 1e-3
     # plane validity: every neighbour within thresh of the plane
     dist = jnp.abs(jnp.einsum("nki,ni->nk", A, normal) + offset[:, None])
     plane_ok = jnp.all(jnp.where(neighbor_valid, dist, 0.0) <= plane_dist_thresh, axis=1)
@@ -166,9 +214,13 @@ def _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg: RegistrationConfig,
         # the degeneracy projection handles the semantics.
         dx = jnp.linalg.solve(AtA + jnp.eye(6, dtype=AtA.dtype) * 1e-6, Atb)
 
-        P, degen = _degeneracy_projection(AtA, cfg.degeneracy_eig_thresh)
-        P = jnp.where(st.it == 0, P, st.P)
-        degen = jnp.where(st.it == 0, degen, st.degenerate)
+        # eigendecomposition only on the first iteration (iterCount == 0 in
+        # the reference); skipping it on later iterations via cond saves the
+        # 6x6 eigh (~3 ms/iter on TPU)
+        P, degen = jax.lax.cond(
+            st.it == 0,
+            lambda _: _degeneracy_projection(AtA, cfg.degeneracy_eig_thresh),
+            lambda _: (st.P, st.degenerate), None)
         dx = jnp.where(degen, P @ dx, dx)
 
         enough = n_inl >= min_correspondences
