@@ -34,27 +34,34 @@ def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
     """Build a jitted multi-chip register(scan, scan_mask, map, map_mask,
     init_pose) with scan points sharded over `axis` and the map replicated."""
 
+    from lio_slam_tpu.ops import voxel_grid as vg
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P(axis), P(), P(), P()),
+             in_specs=(P(axis), P(axis), P(), P(), P(), P()),
              out_specs=(P(), P(), P()),
              check_vma=False)
-    def normal_equations(scan, scan_mask, map_pts, map_mask, pose):
-        corr = reg.find_correspondences(scan, scan_mask, map_pts, map_mask,
-                                        pose, cfg)
+    def normal_equations(scan, scan_mask, grid, map_mask, pose, _unused):
+        corr = reg.find_correspondences(scan, scan_mask, None, None,
+                                        pose, cfg, grid=grid)
         AtA, Atb = reg._normal_equations(scan, corr, pose)
         n_inl = jnp.sum(corr.valid.astype(jnp.int32))
         return jax.lax.psum((AtA, Atb, n_inl), axis)
 
     @jax.jit
     def register(scan, scan_mask, map_pts, map_mask, init_pose):
+        # the map grid is built once (replicated) — same amortization as the
+        # single-chip path; each device queries its scan shard against it
+        grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
+                             cfg.grid_table_size, cfg.grid_max_per_cell)
         def cond(st):
             pose, P_, degen, it, conv = st
             return (it < cfg.max_iterations) & ~conv
 
         def body(st):
             pose, P_prev, degen_prev, it, _ = st
-            AtA, Atb, n_inl = normal_equations(scan, scan_mask, map_pts,
-                                               map_mask, pose)
+            AtA, Atb, n_inl = normal_equations(scan, scan_mask, grid,
+                                               map_mask, pose,
+                                               jnp.zeros(()))
             dx = jnp.linalg.solve(AtA + jnp.eye(6, dtype=AtA.dtype) * 1e-6, Atb)
             Pm, degen = reg._degeneracy_projection(AtA, cfg.degeneracy_eig_thresh)
             Pm = jnp.where(it == 0, Pm, P_prev)

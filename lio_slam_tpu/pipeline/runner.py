@@ -190,6 +190,23 @@ class Runner:
     def save_map(self, destination: str, resolution: float = 0.0):
         return outputs.save_map(self.state.store, destination, resolution)
 
+    def save_checkpoint(self, path: str):
+        from lio_slam_tpu.pipeline import checkpoint
+        checkpoint.save_checkpoint(path, self.state, self.imu_state,
+                                   metadata={"scan_count": self.scan_count})
+
+    def load_checkpoint(self, path: str):
+        from lio_slam_tpu.pipeline import checkpoint
+        self.state, imu_state, meta = checkpoint.load_checkpoint(path, self.cfg)
+        if imu_state is not None:
+            self.imu_state = imu_state
+        self.scan_count = int(meta.get("scan_count", 0))
+        if int(self.state.store.count) > 0:
+            last = int(self.state.store.count) - 1
+            self.trajectory = [np.asarray(self.state.store.poses[i])
+                               for i in range(last + 1)]
+        return meta
+
     def fusion_output(self, stamp: float):
         pose = self.trajectory[-1] if self.trajectory else np.zeros(6)
         return gf.fusion_gps_output(pose.astype(np.float64), stamp,

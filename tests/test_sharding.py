@@ -74,3 +74,43 @@ def test_sharded_knn_matches_single(mesh):
                                rtol=1e-4, atol=1e-5)
     same = [set(a) == set(b) for a, b in zip(np.asarray(i_sh), np.asarray(ref.idx))]
     assert np.mean(same) > 0.95
+
+
+def test_sharded_graph_solver_matches_single(mesh):
+    import jax.numpy as jnp
+    from lio_slam_tpu.graph import factors as F, solver
+    from lio_slam_tpu.parallel import graph as pgraph
+    from lio_slam_tpu.utils import se3
+
+    K, B, G = 16, 32, 8
+    rs = np.random.RandomState(0)
+    # ground-truth chain
+    true = [np.zeros(6, np.float32)]
+    for _ in range(9):
+        d = np.array([0.01, -0.01, 0.1, 1.0, 0.2, 0.0], np.float32)
+        true.append(np.asarray(se3.pose6_compose(jnp.asarray(true[-1]),
+                                                 jnp.asarray(d))))
+    true = jnp.asarray(np.stack(true))
+    noisy = true + jnp.asarray(rs.randn(10, 6).astype(np.float32) * 0.05)
+    noisy = noisy.at[0].set(true[0])
+
+    g = F.empty_graph(K, B, G)
+    g = g._replace(
+        poses=g.poses.at[:10].set(noisy),
+        pose_mask=g.pose_mask.at[:10].set(True),
+        prior_pose=true[0],
+        prior_info=F.info_from_variances([1e-4] * 6))
+    info = F.info_from_variances([1e-6] * 3 + [1e-4] * 3)
+    for i in range(9):
+        meas = se3.pose6_between(true[i], true[i + 1])
+        g = g._replace(
+            bt_i=g.bt_i.at[i].set(i), bt_j=g.bt_j.at[i].set(i + 1),
+            bt_meas=g.bt_meas.at[i].set(meas),
+            bt_info=g.bt_info.at[i].set(info),
+            bt_mask=g.bt_mask.at[i].set(True))
+
+    solve_sh = pgraph.make_sharded_solver(mesh)
+    out_sh = solve_sh(g, g.pose_mask, iterations=3)
+    out_ref = solver.solve(g, g.pose_mask, iterations=3).graph
+    np.testing.assert_allclose(np.asarray(out_sh.poses[:10]),
+                               np.asarray(out_ref.poses[:10]), atol=2e-4)
