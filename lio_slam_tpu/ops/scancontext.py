@@ -129,8 +129,11 @@ def detect(db: ScanContextDB, query_desc: jax.Array,
     b = jnp.argmin(best_dist)
     accept = best_dist[b] < dist_threshold
     S = query_desc.shape[-1]
-    yaw = best_shift[b].astype(jnp.float32) * (2.0 * jnp.pi / S)
-    yaw = jnp.where(yaw > jnp.pi, yaw - 2 * jnp.pi, yaw)
+    # sign: a query pose yawed +theta relative to the match sees world
+    # content at body azimuth -theta, i.e. columns shifted DOWN; the matching
+    # circshift s therefore corresponds to yaw = -s * 2pi/S
+    yaw = -best_shift[b].astype(jnp.float32) * (2.0 * jnp.pi / S)
+    yaw = jnp.where(yaw < -jnp.pi, yaw + 2 * jnp.pi, yaw)
     return SCMatch(index=jnp.where(accept, cand_idx[b], -1),
                    distance=best_dist[b],
                    yaw=jnp.where(accept, yaw, 0.0))

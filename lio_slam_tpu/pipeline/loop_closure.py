@@ -122,9 +122,13 @@ def make_loop_detector(cfg: Config):
             # program half the size of separate RS/SC branches
             use_rs = rs_found
             cand = jnp.where(use_rs, rs_idx, jnp.maximum(match.index, 0))
+            # SC gives yaw(query) - yaw(candidate); its pose hypothesis for
+            # the current scan is the candidate pose yawed by that amount
+            # (position from the candidate — SC carries no translation)
             yaw_fix = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0]) * match.yaw
-            init = jnp.where(use_rs, cur_pose,
-                             se3.pose6_compose(cur_pose, yaw_fix))
+            sc_init = se3.pose6_compose(store.poses[jnp.maximum(match.index, 0)],
+                                        yaw_fix)
+            init = jnp.where(use_rs, cur_pose, sc_init)
             ok, meas, info = verify(cand, init)
             state = queue(state, ok, cand, meas, info)
             return state._replace(

@@ -61,8 +61,9 @@ class TestDetect:
         m = sc.detect(db, q, exclude_recent=5)
         assert int(m.index) == 2
         assert float(m.distance) < 0.3
-        # yaw estimate ~ +-30 deg (sign depends on convention); just magnitude
-        assert abs(abs(float(m.yaw)) - np.pi / 6) < 0.15
+        # revisit points = pts @ Rz.T = R(+30deg) applied to the points, i.e.
+        # the scene as seen from a sensor yawed -30 deg -> signed yaw ~ -pi/6
+        assert abs(float(m.yaw) + np.pi / 6) < 0.15
 
     def test_novel_scene_rejected(self):
         scenes = [ring_scene(seed=i) for i in range(10)]
