@@ -94,30 +94,51 @@ def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
 
     Correct for any neighbour within `cell_size` of the query (the radius the
     registration gate uses) as long as bucket occupancy <= C.
+
+    Layout: offset-major — every intermediate keeps the N queries as the LAST
+    (lane) dimension, so the (27, C)-sized small dims never waste VPU tiles
+    (the query-major (N, 27, C, 3) formulation is ~35% slower on TPU).
     """
     T, C, _ = grid.table.shape
     N = queries.shape[0]
-    coords = jnp.floor(queries / grid.cell_size).astype(jnp.int32)   # (N, 3)
-    cells = coords[:, None, :] + _OFFSETS[None, :, :]                # (N, 27, 3)
-    hh = _cell_hash(cells, T)                                        # (N, 27)
+    qT = queries.T                                                   # (3, N)
+    coords = jnp.floor(qT / grid.cell_size).astype(jnp.int32)        # (3, N)
+    offs = _OFFSETS.T.astype(jnp.int32)                              # (3, 27)
+    cells = coords[:, None, :] + offs[:, :, None]                    # (3, 27, N)
+    h = (cells[0] * 73856093) ^ (cells[1] * 19349663) ^ (cells[2] * 83492791)
+    hh = jnp.abs(h) % T                                              # (27, N)
     # distinct offset cells may hash-collide to the same bucket; scanning it
     # twice would duplicate candidates and crowd out true neighbours
-    dup = jnp.any((hh[:, :, None] == hh[:, None, :])
-                  & (jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :]),
-                  axis=-1)                                           # (N, 27)
+    dup = jnp.any((hh[:, None, :] == hh[None, :, :])
+                  & (jnp.arange(27)[:, None, None] > jnp.arange(27)[None, :, None]),
+                  axis=1)                                            # (27, N)
     flat = grid.table.reshape(T, C * 3)
-    cand = flat[hh].reshape(N, 27, C, 3)                             # wide gather
-    cnt = grid.counts[hh]                                            # (N, 27)
-    slot_ok = (jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt[..., None]) \
-        & ~dup[..., None]                                            # (N, 27, C)
-    cand = cand.reshape(N, 27 * C, 3)
-    slot_ok = slot_ok.reshape(N, 27 * C)
-    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(slot_ok, d2, _BIG)
-    neg, sel = jax.lax.top_k(-d2, k)
-    best_d = -neg
+    cand = flat[hh]                                                  # (27, N, 3C) wide gather
+    candT = jnp.swapaxes(cand, 1, 2).reshape(27, C, 3, N)
+    cnt = grid.counts[hh]                                            # (27, N)
+    slot_ok = (jnp.arange(C)[None, :, None] < cnt[:, None, :]) & ~dup[:, None, :]
+    cx = candT[:, :, 0, :].reshape(27 * C, N)
+    cy = candT[:, :, 1, :].reshape(27 * C, N)
+    cz = candT[:, :, 2, :].reshape(27 * C, N)
+    d2 = ((cx - qT[0][None, :]) ** 2 + (cy - qT[1][None, :]) ** 2
+          + (cz - qT[2][None, :]) ** 2)
+    d2 = jnp.where(slot_ok.reshape(27 * C, N), d2, _BIG)
+    # k iterative masked mins along the (small) candidate axis — each is a
+    # lane-parallel reduction; cheaper than a sort-based top_k here
+    nbs, dsts = [], []
+    dd = d2
+    for _ in range(k):
+        am = jnp.argmin(dd, axis=0)                                  # (N,)
+        dmin = jnp.min(dd, axis=0)
+        nx = jnp.take_along_axis(cx, am[None, :], axis=0)[0]
+        ny = jnp.take_along_axis(cy, am[None, :], axis=0)[0]
+        nz = jnp.take_along_axis(cz, am[None, :], axis=0)[0]
+        nbs.append(jnp.stack([nx, ny, nz], axis=-1))
+        dsts.append(dmin)
+        dd = dd.at[am, jnp.arange(N)].set(_BIG)
+    neighbors = jnp.stack(nbs, axis=1)                               # (N, k, 3)
+    best_d = jnp.stack(dsts, axis=1)                                 # (N, k)
     valid = (best_d < _BIG) & query_mask[:, None]
-    neighbors = jnp.take_along_axis(cand, sel[..., None], axis=1)
     return NeighborResult(neighbors=neighbors,
                           dist2=jnp.where(valid, jnp.maximum(best_d, 0.0), _BIG),
                           valid=valid)

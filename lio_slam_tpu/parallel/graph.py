@@ -18,7 +18,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lio_slam_tpu.graph import factors as F
 from lio_slam_tpu.graph import solver
-from lio_slam_tpu.utils import se3
 
 
 def make_sharded_solver(mesh: Mesh, axis: str = "data"):

@@ -16,7 +16,6 @@ scales map capacity with pod size; see `knn_sharded`.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from lio_slam_tpu.config import RegistrationConfig
 from lio_slam_tpu.ops import knn as knn_mod
 from lio_slam_tpu.ops import registration as reg
-from lio_slam_tpu.utils import se3
 
 
 def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,

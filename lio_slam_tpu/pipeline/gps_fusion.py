@@ -27,9 +27,7 @@ import numpy as np
 
 from lio_slam_tpu.config import GpsConfig
 from lio_slam_tpu.utils import enu as enu_mod
-from lio_slam_tpu.utils import se3
 
-import jax.numpy as jnp
 
 
 @dataclass

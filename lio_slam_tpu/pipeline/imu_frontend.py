@@ -23,7 +23,6 @@ Rebuild of `src/liorf/src/imuPreintegration.cpp` (two classes in one node):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

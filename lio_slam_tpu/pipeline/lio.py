@@ -20,7 +20,6 @@ Factor-graph layout inside `LioState.graph`:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 

@@ -21,7 +21,6 @@ runner calls `detect_loops` every N scans).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

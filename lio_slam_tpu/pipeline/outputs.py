@@ -14,7 +14,6 @@ Rebuild of the reference's output stages:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

@@ -16,12 +16,11 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from lio_slam_tpu.config import Config, get_config
