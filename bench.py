@@ -99,4 +99,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit a parseable result line
+        print(json.dumps({"metric": "scans_per_sec", "value": 0.0,
+                          "unit": "scans/s", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {e}"[:300]}))
+        raise

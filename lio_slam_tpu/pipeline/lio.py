@@ -153,9 +153,16 @@ def _add_gps_factor(state: LioState, inp: ScanInput, new_idx: jax.Array,
                         with_cov, lambda _: jnp.zeros((), bool), None)
     add = inp.gps_valid & traveled & spaced & need
     slot = jnp.minimum(state.gps_count, g.gps_i.shape[0] - 1)
+    # useGpsElevation (addGPSFactor :1991-1995): GPS altitude is usually far
+    # noisier than SLAM z — unless enabled, substitute the current estimate's
+    # z so the factor constrains x/y only (z row keeps its info; the
+    # residual is ~0 there)
+    gps_meas = inp.gps_pos
+    if not cfg.gps.use_gps_elevation:
+        gps_meas = gps_meas.at[2].set(state.store.poses[jnp.maximum(new_idx, 0), 5])
     g = g._replace(
         gps_i=jnp.where(add, g.gps_i.at[slot].set(new_idx), g.gps_i),
-        gps_meas=jnp.where(add, g.gps_meas.at[slot].set(inp.gps_pos), g.gps_meas),
+        gps_meas=jnp.where(add, g.gps_meas.at[slot].set(gps_meas), g.gps_meas),
         gps_info=jnp.where(add, g.gps_info.at[slot].set(inp.gps_info), g.gps_info),
         gps_mask=jnp.where(add, g.gps_mask.at[slot].set(True), g.gps_mask),
     )

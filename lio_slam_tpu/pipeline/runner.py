@@ -63,6 +63,7 @@ class Runner:
         self.scan_count = 0
         self.trajectory: list[np.ndarray] = []
         self.mapping_error = False
+        self._last_processed_stamp = -1e18
         self._ext_R = np.asarray(self.cfg.imu.ext_rot, np.float32).reshape(3, 3)
 
     # -- sensor feeds -----------------------------------------------------
@@ -102,8 +103,14 @@ class Runner:
     def process_scan(self, scan: formats.StandardScan,
                      imu: Optional[dict] = None,
                      gps_fix: Optional[tuple] = None) -> ScanResult:
-        """gps_fix: optional (lat, lon, alt, status) tuple at ~scan time."""
+        """gps_fix: optional (lat, lon, alt, status) tuple at ~scan time.
+
+        Returns None when the scan is dropped by the mappingProcessInterval
+        throttle (laserCloudInfoHandler :452-456)."""
         cfg = self.cfg
+        if (scan.stamp - self._last_processed_stamp) < cfg.mapping_process_interval:
+            return None
+        self._last_processed_stamp = scan.stamp
         acc, gyr, dts, imask, have_imu = self._prep_imu_window(imu)
 
         xyz = self._deskew(scan, gyr, dts, imask, have_imu)
