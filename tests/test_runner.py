@@ -1,0 +1,91 @@
+"""Runner surface tests: the user-facing mission API."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lio_slam_tpu.config import Config, StaticConfig, RegistrationConfig
+from lio_slam_tpu.io import formats, synthetic
+from lio_slam_tpu.pipeline.runner import Runner
+from lio_slam_tpu.utils import se3
+
+
+def small_cfg(**kw):
+    return Config(
+        static=StaticConfig(max_raw_points=2048, max_scan_points=2048,
+                            max_map_points=8192, max_keyframes=16,
+                            max_keyframe_points=1024, max_loop_queue=2,
+                            max_gps_queue=2, window_size=8, max_imu_window=32),
+        registration=RegistrationConfig(degeneracy_eig_thresh=10.0),
+        **kw)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.make_sequence(n_scans=8, n_points=2048, seed=0)
+
+
+def scan_at(seq, i):
+    m = seq.scan_masks[i]
+    return formats.StandardScan(
+        xyz=seq.scans[i][m], intensity=np.zeros(int(m.sum()), np.float32),
+        ring=np.zeros(int(m.sum()), np.uint16),
+        time=np.zeros(int(m.sum()), np.float32), stamp=float(seq.stamps[i]))
+
+
+def imu_between(seq, i, g):
+    inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
+                                       jnp.asarray(seq.poses[i])))
+    T, dtau = 10, 0.01
+    return {"acc": np.tile([0, 0, g], (T, 1)).astype(np.float32),
+            "gyr": np.tile(inc[:3] / 0.1, (T, 1)).astype(np.float32),
+            "stamps": seq.stamps[i - 1] + np.arange(1, T + 1) * dtau}
+
+
+def test_mission_with_imu(seq):
+    cfg = small_cfg()
+    runner = Runner(cfg, loop_every=100)
+    out = None
+    for i in range(8):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        out = runner.process_scan(scan_at(seq, i), imu=imu)
+    rel = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                       jnp.asarray(seq.poses[7])))
+    assert np.abs(out.pose - rel).max() < 0.05
+    assert out.imu_rate_poses is not None
+    assert not runner.mapping_error
+    assert len(runner.trajectory) == 8
+
+
+def test_throttle_returns_none(seq):
+    runner = Runner(small_cfg(mapping_process_interval=0.15), loop_every=100)
+    results = [runner.process_scan(scan_at(seq, i)) is not None
+               for i in range(6)]
+    assert results == [True, False, True, False, True, False]
+
+
+def test_products_and_checkpoint(tmp_path, seq):
+    cfg = small_cfg()
+    runner = Runner(cfg, loop_every=100)
+    for i in range(5):
+        runner.process_scan(scan_at(seq, i))
+    pm = runner.local_planning_map()
+    assert int(pm.count()) > 50
+    hm = runner.height_map()
+    assert np.isfinite(np.asarray(hm.elevation)).sum() > 20
+    res = runner.save_map(str(tmp_path / "maps"), resolution=0.4)
+    assert res.success and res.num_points > 50
+    runner.save_checkpoint(str(tmp_path / "c.npz"))
+    r2 = Runner(cfg, loop_every=100)
+    meta = r2.load_checkpoint(str(tmp_path / "c.npz"))
+    assert meta["scan_count"] == 5
+    out = r2.process_scan(scan_at(seq, 5))
+    assert np.isfinite(out.pose).all()
+
+
+def test_fusion_output_without_gps(seq):
+    """fusion_output works with the default (unset) datum at lat/lon 0."""
+    runner = Runner(small_cfg(), loop_every=100)
+    runner.process_scan(scan_at(seq, 0))
+    fo = runner.fusion_output(stamp=0.0)
+    assert np.isfinite([fo.latitude, fo.longitude, fo.heading]).all()
