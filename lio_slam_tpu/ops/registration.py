@@ -144,7 +144,8 @@ def find_correspondences(scan: jax.Array, scan_mask: jax.Array,
     scan_w = se3.transform_points(R, t, scan)           # pointAssociateToMap
     if grid is not None:
         from lio_slam_tpu.ops import voxel_grid as vg
-        nn = vg.query_knn(grid, scan_w, scan_mask, k=k)
+        nn = vg.query_knn(grid, scan_w, scan_mask, k=k,
+                          z_halo=cfg.grid_z_halo)
         neighbors = nn.neighbors                         # (N, k, 3) coords
         nn_valid = nn.valid
     else:
@@ -268,7 +269,8 @@ def register(scan: jax.Array, scan_mask: jax.Array,
         from lio_slam_tpu.ops import voxel_grid as vg
         # cell size = nn_radius so the 27-cell neighbourhood covers the gate
         grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
-                             cfg.grid_table_size, cfg.grid_max_per_cell)
+                             cfg.grid_table_size, cfg.grid_max_per_cell,
+                             z_halo=cfg.grid_z_halo)
     else:
         grid = None
 

@@ -33,7 +33,19 @@ _BIG = jnp.float32(1e30)
 
 
 class HashGrid(NamedTuple):
-    """Bucket-major point table.  T, C are static (from shape)."""
+    """Bucket-major point table.  T, C are static (from shape).
+
+    Two layouts share this container (selected by the static `z_halo` arg on
+    the build/insert/query functions, wired from `RegistrationConfig.
+    grid_z_halo` — the layout is a compile-time property, never stored as a
+    traced value):
+
+    - plain: one bucket per cell; a query scans the 27 surrounding cells.
+    - z-halo: each point is ALSO inserted under its z±1 cell keys (3x build
+      rows), so every bucket already holds its own z-column neighbourhood
+      and a query scans only the 9 surrounding xy cells — 3x fewer gather
+      descriptors, the dominant cost of the query on TPU.
+    """
 
     table: jax.Array         # (T, C, 3) float32 points
     counts: jax.Array        # (T,) int32 valid slots per bucket
@@ -55,24 +67,48 @@ def _cell_hash(coords: jax.Array, table_size: int) -> jax.Array:
     return jnp.abs(h) % table_size
 
 
-@partial(jax.jit, static_argnames=("table_size", "max_per_cell"))
+_Z_REPL = jnp.array([[0, 0, 0], [0, 0, -1], [0, 0, 1]], jnp.int32)
+
+
+def _halo_keys(points: jax.Array, mask: jax.Array, cs, table_size: int):
+    """Expand each point to its 3 z-halo insert keys -> (3M,) bucket hashes
+    and (3M, 3) replicated points.  Keys whose hash collides with an earlier
+    key OF THE SAME POINT insert once (a double insert would waste a slot and
+    double-count the point as a candidate)."""
+    M = points.shape[0]
+    coords = jnp.floor(points / cs).astype(jnp.int32)       # (M, 3)
+    cells = coords[:, None, :] + _Z_REPL[None]              # (M, 3, 3)
+    h = _cell_hash(cells, table_size)                       # (M, 3)
+    dup = jnp.concatenate(
+        [jnp.zeros((M, 1), bool),
+         h[:, 1:2] == h[:, 0:1],
+         (h[:, 2:3] == h[:, 0:1]) | (h[:, 2:3] == h[:, 1:2])], axis=1)
+    hf = jnp.where(mask[:, None] & ~dup, h, table_size).reshape(-1)
+    pts = jnp.broadcast_to(points[:, None, :], (M, 3, 3)).reshape(-1, 3)
+    return hf, pts
+
+
+@partial(jax.jit, static_argnames=("table_size", "max_per_cell", "z_halo"))
 def build_grid(points: jax.Array, mask: jax.Array, cell_size: float,
-               table_size: int = 32768, max_per_cell: int = 16) -> HashGrid:
+               table_size: int = 32768, max_per_cell: int = 16,
+               z_halo: bool = False) -> HashGrid:
     cs = jnp.float32(cell_size)
-    coords = jnp.floor(points / cs).astype(jnp.int32)
-    h = _cell_hash(coords, table_size)
-    h = jnp.where(mask, h, table_size)            # invalid points sort last
+    if z_halo:
+        h, points = _halo_keys(points, mask, cs, table_size)
+    else:
+        coords = jnp.floor(points / cs).astype(jnp.int32)
+        h = _cell_hash(coords, table_size)
+        h = jnp.where(mask, h, table_size)        # invalid points sort last
     order = jnp.argsort(h)
     h_s = h[order]
     pts_s = points[order]
-    mask_s = mask[order]
     # within-bucket rank = position - first position of this bucket value
     first = jnp.concatenate([jnp.array([True]), h_s[1:] != h_s[:-1]])
     pos = jnp.arange(h_s.shape[0], dtype=jnp.int32)
     run_start = jnp.where(first, pos, 0)
     run_start = jax.lax.associative_scan(jnp.maximum, run_start)
     rank = pos - run_start
-    keep = mask_s & (rank < max_per_cell)
+    keep = (h_s < table_size) & (rank < max_per_cell)
     dst_b = jnp.where(keep, h_s, table_size)      # park dropped rows
     dst_s = jnp.where(keep, rank, 0)
     table = jnp.zeros((table_size + 1, max_per_cell, 3), points.dtype)
@@ -86,56 +122,70 @@ _OFFSETS = jnp.stack(jnp.meshgrid(
     jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
     indexing="ij"), axis=-1).reshape(27, 3)
 
+# z-halo queries scan only the 9 xy-neighbour cells at the query's own z —
+# the buckets themselves hold the z-column neighbourhood
+_OFFSETS_XY9 = jnp.stack(jnp.meshgrid(
+    jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(0, 1),
+    indexing="ij"), axis=-1).reshape(9, 3)
 
-@partial(jax.jit, static_argnames=("k",))
+
+@partial(jax.jit, static_argnames=("k", "z_halo"))
 def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
-              k: int = 5) -> NeighborResult:
-    """Exact k-NN among the candidates in the 27 cells around each query.
+              k: int = 5, z_halo: bool = False) -> NeighborResult:
+    """Exact k-NN among the candidates in the cells around each query
+    (27 cells, or 9 xy cells when the grid was built with z_halo).
 
     Correct for any neighbour within `cell_size` of the query (the radius the
     registration gate uses) as long as bucket occupancy <= C.
 
     Layout: offset-major — every intermediate keeps the N queries as the LAST
-    (lane) dimension, so the (27, C)-sized small dims never waste VPU tiles
-    (the query-major (N, 27, C, 3) formulation is ~35% slower on TPU).
+    (lane) dimension, so the (O, C)-sized small dims never waste VPU tiles
+    (the query-major (N, O, C, 3) formulation is ~35% slower on TPU).
     """
     T, C, _ = grid.table.shape
     N = queries.shape[0]
+    offsets = _OFFSETS_XY9 if z_halo else _OFFSETS
+    O = offsets.shape[0]
     qT = queries.T                                                   # (3, N)
     coords = jnp.floor(qT / grid.cell_size).astype(jnp.int32)        # (3, N)
-    offs = _OFFSETS.T.astype(jnp.int32)                              # (3, 27)
-    cells = coords[:, None, :] + offs[:, :, None]                    # (3, 27, N)
+    offs = offsets.T.astype(jnp.int32)                               # (3, O)
+    cells = coords[:, None, :] + offs[:, :, None]                    # (3, O, N)
     h = (cells[0] * 73856093) ^ (cells[1] * 19349663) ^ (cells[2] * 83492791)
-    hh = jnp.abs(h) % T                                              # (27, N)
+    hh = jnp.abs(h) % T                                              # (O, N)
     # distinct offset cells may hash-collide to the same bucket; scanning it
     # twice would duplicate candidates and crowd out true neighbours
     dup = jnp.any((hh[:, None, :] == hh[None, :, :])
-                  & (jnp.arange(27)[:, None, None] > jnp.arange(27)[None, :, None]),
-                  axis=1)                                            # (27, N)
+                  & (jnp.arange(O)[:, None, None] > jnp.arange(O)[None, :, None]),
+                  axis=1)                                            # (O, N)
     flat = grid.table.reshape(T, C * 3)
-    cand = flat[hh]                                                  # (27, N, 3C) wide gather
-    candT = jnp.swapaxes(cand, 1, 2).reshape(27, C, 3, N)
-    cnt = grid.counts[hh]                                            # (27, N)
+    cand = flat[hh]                                                  # (O, N, 3C) wide gather
+    candT = jnp.swapaxes(cand, 1, 2).reshape(O, C, 3, N)
+    cnt = grid.counts[hh]                                            # (O, N)
     slot_ok = (jnp.arange(C)[None, :, None] < cnt[:, None, :]) & ~dup[:, None, :]
-    cx = candT[:, :, 0, :].reshape(27 * C, N)
-    cy = candT[:, :, 1, :].reshape(27 * C, N)
-    cz = candT[:, :, 2, :].reshape(27 * C, N)
+    R = O * C
+    cx = candT[:, :, 0, :].reshape(R, N)
+    cy = candT[:, :, 1, :].reshape(R, N)
+    cz = candT[:, :, 2, :].reshape(R, N)
     d2 = ((cx - qT[0][None, :]) ** 2 + (cy - qT[1][None, :]) ** 2
           + (cz - qT[2][None, :]) ** 2)
-    d2 = jnp.where(slot_ok.reshape(27 * C, N), d2, _BIG)
-    # k iterative masked mins along the (small) candidate axis — each is a
-    # lane-parallel reduction; cheaper than a sort-based top_k here
+    d2 = jnp.where(slot_ok.reshape(R, N), d2, _BIG)
+    # k iterative masked mins along the (small) candidate axis.  Extraction
+    # is by one-hot masked reductions — scatter/take_along_axis per k would
+    # issue ~3kN tiny descriptors and costs ~2 ms at N=8k; the one-hot form
+    # is pure lane-parallel VPU streaming (~30% faster end to end).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     nbs, dsts = [], []
     dd = d2
     for _ in range(k):
         am = jnp.argmin(dd, axis=0)                                  # (N,)
+        hot = rows == am[None, :]                                    # (R, N)
         dmin = jnp.min(dd, axis=0)
-        nx = jnp.take_along_axis(cx, am[None, :], axis=0)[0]
-        ny = jnp.take_along_axis(cy, am[None, :], axis=0)[0]
-        nz = jnp.take_along_axis(cz, am[None, :], axis=0)[0]
+        nx = jnp.sum(jnp.where(hot, cx, 0.0), axis=0)
+        ny = jnp.sum(jnp.where(hot, cy, 0.0), axis=0)
+        nz = jnp.sum(jnp.where(hot, cz, 0.0), axis=0)
         nbs.append(jnp.stack([nx, ny, nz], axis=-1))
         dsts.append(dmin)
-        dd = dd.at[am, jnp.arange(N)].set(_BIG)
+        dd = jnp.where(hot, _BIG, dd)
     neighbors = jnp.stack(nbs, axis=1)                               # (N, k, 3)
     best_d = jnp.stack(dsts, axis=1)                                 # (N, k)
     valid = (best_d < _BIG) & query_mask[:, None]
@@ -144,29 +194,32 @@ def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
                           valid=valid)
 
 
-@partial(jax.jit, static_argnames=())
-def insert_points(grid: HashGrid, points: jax.Array, mask: jax.Array) -> HashGrid:
+@partial(jax.jit, static_argnames=("z_halo",))
+def insert_points(grid: HashGrid, points: jax.Array, mask: jax.Array,
+                  z_halo: bool = False) -> HashGrid:
     """Incrementally insert points into an existing grid (the rolling local
     map: new keyframe clouds are scattered in; no per-scan rebuild).  Slots
     fill per-bucket; overflowing points overwrite the bucket ring-buffer style
     (oldest-first), which bounds memory like the reference's rolling 50 m
     local map window."""
     T, C, _ = grid.table.shape
-    coords = jnp.floor(points / grid.cell_size).astype(jnp.int32)
-    h = _cell_hash(coords, T)
-    h = jnp.where(mask, h, T)
+    if z_halo:
+        h, points = _halo_keys(points, mask, grid.cell_size, T)
+    else:
+        coords = jnp.floor(points / grid.cell_size).astype(jnp.int32)
+        h = _cell_hash(coords, T)
+        h = jnp.where(mask, h, T)
     # rank of each point within its bucket among THIS batch
     order = jnp.argsort(h)
     h_s = h[order]
     pts_s = points[order]
-    mask_s = mask[order]
     first = jnp.concatenate([jnp.array([True]), h_s[1:] != h_s[:-1]])
     pos = jnp.arange(h_s.shape[0], dtype=jnp.int32)
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
     rank = pos - run_start
     base = jnp.where(h_s < T, grid.counts[jnp.minimum(h_s, T - 1)], 0)
     slot = (base + rank) % C                       # ring overwrite on overflow
-    keep = mask_s & (rank < C)                     # at most C new per bucket
+    keep = (h_s < T) & (rank < C)                  # at most C new per bucket
     dst_b = jnp.where(keep, h_s, T)
     padded_table = jnp.concatenate(
         [grid.table, jnp.zeros((1, C, 3), grid.table.dtype)], axis=0)

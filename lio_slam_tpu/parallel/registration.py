@@ -50,7 +50,8 @@ def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
         # the map grid is built once (replicated) — same amortization as the
         # single-chip path; each device queries its scan shard against it
         grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
-                             cfg.grid_table_size, cfg.grid_max_per_cell)
+                             cfg.grid_table_size, cfg.grid_max_per_cell,
+                             z_halo=cfg.grid_z_halo)
         def cond(st):
             pose, P_, degen, it, conv = st
             return (it < cfg.max_iterations) & ~conv

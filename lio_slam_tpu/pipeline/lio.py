@@ -272,7 +272,8 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
         Rn, tn = se3.pose6_to_Rt(new_pose)
         world_pts = se3.transform_points(Rn, tn, scan_ds.xyz)
         state = state._replace(
-            map_grid=vg.insert_points(state.map_grid, world_pts, scan_ds.mask))
+            map_grid=vg.insert_points(state.map_grid, world_pts, scan_ds.mask,
+                                      z_halo=cfg.registration.grid_z_halo))
 
     return state._replace(store=store, graph=g, pose=new_pose,
                           needs_full_solve=state.needs_full_solve | state.loop_closed,
@@ -302,7 +303,8 @@ def make_full_correction(cfg: Config):
                                      store.cloud_masks.reshape(-1),
                                      cfg.registration.nn_radius,
                                      cfg.registration.grid_table_size,
-                                     cfg.registration.grid_max_per_cell)
+                                     cfg.registration.grid_max_per_cell,
+                                     z_halo=cfg.registration.grid_z_halo)
                 state = state._replace(map_grid=grid)
             return state
 

@@ -79,6 +79,61 @@ def test_incremental_insert_matches_batch_build():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_zhalo_matches_bruteforce_within_radius():
+    """z-halo layout (9-cell query) is exact for in-radius neighbours, same
+    guarantee as the 27-cell layout."""
+    rs = np.random.RandomState(4)
+    ref = rs.randn(2000, 3).astype(np.float32) * 5
+    q = ref[rs.choice(2000, 300, replace=False)] + \
+        rs.randn(300, 3).astype(np.float32) * 0.1
+    refj, qj = jnp.asarray(ref), jnp.asarray(q)
+    rm, qm = jnp.ones(2000, bool), jnp.ones(300, bool)
+
+    grid = vg.build_grid(refj, rm, cell_size=1.0, table_size=4096,
+                         max_per_cell=96, z_halo=True)
+    got = vg.query_knn(grid, qj, qm, k=5, z_halo=True)
+    ref_res = knn_mod.knn(qj, qm, refj, rm, k=5)
+
+    in_radius = np.asarray(ref_res.dist2[:, 4]) < 1.0
+    gd = np.sort(np.asarray(got.dist2), axis=1)[in_radius]
+    bd = np.sort(np.asarray(ref_res.dist2), axis=1)[in_radius]
+    np.testing.assert_allclose(gd, bd, rtol=1e-3, atol=1e-4)
+    assert in_radius.sum() > 20
+
+
+def test_zhalo_incremental_insert_matches_batch_build():
+    rs = np.random.RandomState(5)
+    a = rs.randn(300, 3).astype(np.float32) * 4
+    b = rs.randn(300, 3).astype(np.float32) * 4 + 2.0
+    q = jnp.asarray(a[:64])
+    qm = jnp.ones(64, bool)
+
+    grid = vg.empty_grid(1.0, 2048, 96)
+    grid = vg.insert_points(grid, jnp.asarray(a), jnp.ones(300, bool),
+                            z_halo=True)
+    grid = vg.insert_points(grid, jnp.asarray(b), jnp.ones(300, bool),
+                            z_halo=True)
+    inc = vg.query_knn(grid, q, qm, k=5, z_halo=True)
+
+    both = jnp.asarray(np.concatenate([a, b]))
+    grid2 = vg.build_grid(both, jnp.ones(600, bool), 1.0, 2048, 96,
+                          z_halo=True)
+    bat = vg.query_knn(grid2, q, qm, k=5, z_halo=True)
+
+    np.testing.assert_allclose(np.sort(np.asarray(inc.dist2), 1),
+                               np.sort(np.asarray(bat.dist2), 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_zhalo_masked_points_ignored():
+    ref = jnp.concatenate([jnp.zeros((4, 3)), jnp.full((4, 3), 0.1)])
+    rm = jnp.array([True] * 4 + [False] * 4)
+    grid = vg.build_grid(ref, rm, 1.0, 512, 16, z_halo=True)
+    got = vg.query_knn(grid, jnp.zeros((1, 3)), jnp.ones(1, bool), k=5,
+                       z_halo=True)
+    assert int(got.valid.sum()) == 4
+
+
 def test_insert_overflow_ring_overwrites():
     """More points than capacity in one cell: count saturates, grid stays
     valid and returns nearest among retained points."""
