@@ -268,9 +268,48 @@ def _run_synthetic(args):
     print(json.dumps(summary))
 
 
+def _run_bag(args):
+    """rosbag replay — the reference's `rosbag play` + launch workflow
+    (src/liorf/README.md:137-158) in one process."""
+    from lio_slam_tpu.io.bag_replay import BagTopics, replay_bag
+
+    cfg = get_config(args.preset)
+    runner = Runner(cfg, loop_every=args.loop_every)
+    topics = BagTopics(lidar=args.lidar_topic, imu=args.imu_topic,
+                       gps=args.gps_topic, sensor=args.sensor)
+    t0 = time.time()
+    n = 0
+    last = None
+    for r in replay_bag(runner, args.bag, topics,
+                        max_scans=args.scans or None):
+        n += 1
+        last = r
+    elapsed = time.time() - t0
+    summary = {
+        "bag": args.bag, "scans": n, "elapsed_s": round(elapsed, 2),
+        "scans_per_sec": round(n / max(elapsed, 1e-9), 2),
+        "keyframes": int(runner.state.store.count),
+        "loops": int(runner.state.loop_count),
+        "final_pose": None if last is None else
+            [round(float(v), 4) for v in last.pose],
+        "mapping_error": runner.mapping_error,
+    }
+    if args.save_map:
+        res = runner.save_map(args.save_map, resolution=0.4)
+        summary["saved"] = res.files
+    print(json.dumps(summary))
+
+
 def main():
     ap = argparse.ArgumentParser(description="lio_slam_tpu mission runner")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--bag", default=None, help="replay a ROS1 .bag file")
+    ap.add_argument("--lidar-topic", default="/velodyne_points")
+    ap.add_argument("--imu-topic", default="/imu/data")
+    ap.add_argument("--gps-topic", default=None)
+    ap.add_argument("--sensor", default="velodyne",
+                    choices=["velodyne", "ouster", "robosense", "mulran",
+                             "livox", "rs_xyzi"])
     ap.add_argument("--scans", type=int, default=40)
     ap.add_argument("--points", type=int, default=8192)
     ap.add_argument("--seed", type=int, default=0)
@@ -278,10 +317,12 @@ def main():
     ap.add_argument("--loop-every", type=int, default=10)
     ap.add_argument("--save-map", default=None)
     args = ap.parse_args()
-    if args.synthetic:
+    if args.bag:
+        _run_bag(args)
+    elif args.synthetic:
         _run_synthetic(args)
     else:
-        ap.error("only --synthetic replay is wired in this build; "
+        ap.error("pass --synthetic or --bag <file>; "
                  "use the Runner API for live feeds")
 
 

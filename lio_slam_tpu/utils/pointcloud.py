@@ -123,11 +123,16 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_out: int,
     """
     leaf = jnp.float32(leaf_size)
     vid = _voxel_ids(cloud.xyz, cloud.mask, leaf)
-    order = jnp.argsort(vid)
-    vid_s = vid[order]
-    xyz_s = cloud.xyz[order]
-    mask_s = cloud.mask[order]
-    attr_s = cloud.attr[order] if (with_attr and cloud.attr is not None) else None
+    # multi-operand lax.sort carries the payload columns through the sort
+    # network directly — cheaper on TPU than argsort + descriptor-bound
+    # row gathers of the same columns
+    has_attr = with_attr and cloud.attr is not None
+    cols = [cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2], cloud.mask]
+    if has_attr:
+        A = cloud.attr.shape[1]
+        cols += [cloud.attr[:, j] for j in range(A)]
+    sorted_ops = jax.lax.sort((vid, *cols), num_keys=1)
+    vid_s, x_s, y_s, z_s, mask_s = sorted_ops[:5]
 
     first = jnp.concatenate([jnp.array([True]), vid_s[1:] != vid_s[:-1]]) & mask_s
     # output slot per run (0-based); invalid points land in trailing slots
@@ -138,14 +143,18 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_out: int,
     num_seg = max_out + 1
     ones = mask_s.astype(jnp.float32)
     counts = jax.ops.segment_sum(ones, slot_c, num_segments=num_seg)
-    sums = jax.ops.segment_sum(xyz_s * ones[:, None], slot_c, num_segments=num_seg)
-    denom = jnp.maximum(counts[:max_out, None], 1.0)
-    out_xyz = sums[:max_out] / denom
+    sx = jax.ops.segment_sum(x_s * ones, slot_c, num_segments=num_seg)
+    sy = jax.ops.segment_sum(y_s * ones, slot_c, num_segments=num_seg)
+    sz = jax.ops.segment_sum(z_s * ones, slot_c, num_segments=num_seg)
+    denom = jnp.maximum(counts[:max_out], 1.0)
+    out_xyz = jnp.stack([sx[:max_out], sy[:max_out], sz[:max_out]],
+                        axis=-1) / denom[:, None]
     out_mask = counts[:max_out] > 0
     out_attr = None
-    if attr_s is not None:
-        asum = jax.ops.segment_sum(attr_s * ones[:, None], slot_c, num_segments=num_seg)
-        out_attr = asum[:max_out] / denom
+    if has_attr:
+        asum = [jax.ops.segment_sum(a_s * ones, slot_c, num_segments=num_seg)
+                for a_s in sorted_ops[5:]]
+        out_attr = jnp.stack([a[:max_out] for a in asum], axis=-1) / denom[:, None]
     return Cloud(xyz=out_xyz, mask=out_mask, attr=out_attr)
 
 
