@@ -107,14 +107,17 @@ class RegistrationConfig:
     # "brute" = chunked MXU matmul top-k (exact oracle / fallback)
     knn_backend: str = "grid"
     # bucket occupancy cap: a 0.4 m-downsampled plane crosses a 1 m cell with
-    # ~6 points (x3 with the z-halo layout); query cost scales with it
+    # ~6 points (x3 with the z-halo layout, x27 full-halo); query cost and
+    # gather width scale with it
     grid_max_per_cell: int = 24
     grid_table_size: int = 32768          # hash buckets (power of two)
-    # z-halo bucket layout: points are also inserted under their z+-1 cell
-    # keys so queries gather 9 xy-neighbour buckets instead of 27 — ~35%
-    # faster k-NN (the gather descriptor count is the dominant query cost);
-    # build/insert rows triple, which the incremental map amortizes
-    grid_z_halo: bool = True
+    # halo bucket layout (ops/voxel_grid.py): "none" = insert once, query 27
+    # cells; "z" = insert under z+-1 too, query 9 cells; "full" = insert under
+    # all 27 neighbour cells, query exactly ONE contiguous bucket — the
+    # layout the fused Pallas registration kernel consumes (gathers on TPU
+    # are granularity-bound, so one wide row beats 9-27 narrow ones).
+    # max_per_cell must scale with the layout: ~24 for "z", ~128 for "full"
+    grid_halo: str = "z"
     # local-map maintenance: "incremental" keeps one persistent voxel map
     # updated on keyframe insertion (iVox-style; no per-scan rebuild, the
     # production path); "rebuild" reassembles from nearby keyframes each scan

@@ -146,7 +146,7 @@ def find_correspondences(scan: jax.Array, scan_mask: jax.Array,
     if grid is not None:
         from lio_slam_tpu.ops import voxel_grid as vg
         nn = vg.query_knn(grid, scan_w, scan_mask, k=k,
-                          z_halo=cfg.grid_z_halo)
+                          halo=cfg.grid_halo)
         neighbors = nn.neighbors                         # (N, k, 3) coords
         nn_valid = nn.valid
     else:
@@ -272,7 +272,7 @@ def register(scan: jax.Array, scan_mask: jax.Array,
         # cell size = nn_radius so the 27-cell neighbourhood covers the gate
         grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
                              cfg.grid_table_size, cfg.grid_max_per_cell,
-                             z_halo=cfg.grid_z_halo)
+                             halo=cfg.grid_halo)
     else:
         grid = None
 

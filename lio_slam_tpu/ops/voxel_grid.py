@@ -3,22 +3,36 @@
 The reference rebuilds a PCL kd-tree over the local map every scan
 (`mapOptmization.cpp:1846`) and queries 5-NN per point per GN iteration
 (:1631).  Kd-trees are pointer-chasing; the TPU-native equivalent is a voxel
-bucket grid in **bucket-major layout**:
+bucket grid in **bucket-major layout**: points live in a (T buckets x C slots
+x 3) table, so a query gathers whole buckets as wide contiguous rows instead
+of hundreds of scattered 12 B rows.  TPU gathers are granularity-bound (HBM
+reads below ~512 B waste most of the line), so the design dial is *insert
+multiplicity vs gather width*:
 
-  points live in a (T buckets x C slots x 3) table, so a query gathers 27
-  whole buckets as wide contiguous rows (192 B each) instead of 432 scattered
-  12 B rows — ~4x faster on TPU, whose gathers are descriptor-bound.
+- halo="none": each point inserted once; a query scans the 27 surrounding
+  cells (27 narrow gathers).
+- halo="z": each point also inserted under its z±1 cell keys; a query scans
+  the 9 xy-neighbour cells.
+- halo="full": each point inserted under all 27 neighbour cell keys; a query
+  gathers exactly ONE bucket — a single contiguous C·12 B row per query, the
+  layout the fused Pallas registration kernel consumes.  27x insert rows are
+  amortized by the incremental map (inserts happen per keyframe, queries per
+  GN iteration per scan).
 
-  build (amortizable — the map is static across GN iterations and, with the
-  incremental map, across scans):
-    hash cell -> sort by bucket -> scatter into the bucket table.
-  query (per GN iteration):
-    gather 27 buckets -> exact distances -> top-k.  O(N * 27 * C) with all
-    compute in registers/VMEM-friendly shapes.
+Build/insert emit one (bucket, point) row per halo offset, sort all rows by
+bucket once, rank within runs, and scatter — rows of distinct cells that
+hash-collide into one bucket merge into a single correctly-ranked run (a
+per-offset rank-reuse shortcut was tried and loses ~20% of points at
+realistic cell-to-bucket load factors).
 
 Hash collisions merely add far-away candidates (distance-filtered), never
-wrong neighbours.  Bucket overflow drops points beyond `max_per_cell` — sized
-so a 0.4 m-voxel-downsampled map rarely overflows a 1 m cell (<= ~16 pts).
+wrong neighbours.  One rare artifact is accepted (bounded by pairs/table_size
+~1%): a point whose offset cells hash-collide inserts twice into that bucket,
+wasting a slot.  Bucket overflow overwrites ring-buffer style (oldest first),
+which bounds memory like the reference's rolling 50 m local map window.
+
+Empty slots hold SENTINEL coordinates (1e6) so queries need no occupancy
+gather: sentinel candidates lose every distance comparison naturally.
 """
 
 from __future__ import annotations
@@ -30,25 +44,18 @@ import jax
 import jax.numpy as jnp
 
 _BIG = jnp.float32(1e30)
+SENTINEL = 1e6           # empty-slot coordinate; d2 >= ~1e12 >> any real match
+_VALID_MAX = 1e10        # d2 above this means "sentinel / no neighbour"
 
 
 class HashGrid(NamedTuple):
-    """Bucket-major point table.  T, C are static (from shape).
+    """Bucket-major point table.  T, C are static (from shape).  The halo
+    layout (see module docstring) is a compile-time property passed to
+    build/insert/query (wired from `RegistrationConfig.grid_halo`), never a
+    traced value."""
 
-    Two layouts share this container (selected by the static `z_halo` arg on
-    the build/insert/query functions, wired from `RegistrationConfig.
-    grid_z_halo` — the layout is a compile-time property, never stored as a
-    traced value):
-
-    - plain: one bucket per cell; a query scans the 27 surrounding cells.
-    - z-halo: each point is ALSO inserted under its z±1 cell keys (3x build
-      rows), so every bucket already holds its own z-column neighbourhood
-      and a query scans only the 9 surrounding xy cells — 3x fewer gather
-      descriptors, the dominant cost of the query on TPU.
-    """
-
-    table: jax.Array         # (T, C, 3) float32 points
-    counts: jax.Array        # (T,) int32 valid slots per bucket
+    table: jax.Array         # (T, C, 3) float32 points (SENTINEL where empty)
+    counts: jax.Array        # (T,) int32 inserted slots per bucket (capped C)
     cell_size: jax.Array     # () float32
 
 
@@ -67,73 +74,104 @@ def _cell_hash(coords: jax.Array, table_size: int) -> jax.Array:
     return jnp.abs(h) % table_size
 
 
-_Z_REPL = jnp.array([[0, 0, 0], [0, 0, -1], [0, 0, 1]], jnp.int32)
-
-
-def _halo_keys(points: jax.Array, mask: jax.Array, cs, table_size: int):
-    """Expand each point to its 3 z-halo insert keys -> (3M,) bucket hashes
-    and (3M, 3) replicated points.  Keys whose hash collides with an earlier
-    key OF THE SAME POINT insert once (a double insert would waste a slot and
-    double-count the point as a candidate)."""
-    M = points.shape[0]
-    coords = jnp.floor(points / cs).astype(jnp.int32)       # (M, 3)
-    cells = coords[:, None, :] + _Z_REPL[None]              # (M, 3, 3)
-    h = _cell_hash(cells, table_size)                       # (M, 3)
-    dup = jnp.concatenate(
-        [jnp.zeros((M, 1), bool),
-         h[:, 1:2] == h[:, 0:1],
-         (h[:, 2:3] == h[:, 0:1]) | (h[:, 2:3] == h[:, 1:2])], axis=1)
-    hf = jnp.where(mask[:, None] & ~dup, h, table_size).reshape(-1)
-    pts = jnp.broadcast_to(points[:, None, :], (M, 3, 3)).reshape(-1, 3)
-    return hf, pts
-
-
-@partial(jax.jit, static_argnames=("table_size", "max_per_cell", "z_halo"))
-def build_grid(points: jax.Array, mask: jax.Array, cell_size: float,
-               table_size: int = 32768, max_per_cell: int = 16,
-               z_halo: bool = False) -> HashGrid:
-    cs = jnp.float32(cell_size)
-    if z_halo:
-        h, points = _halo_keys(points, mask, cs, table_size)
-    else:
-        coords = jnp.floor(points / cs).astype(jnp.int32)
-        h = _cell_hash(coords, table_size)
-        h = jnp.where(mask, h, table_size)        # invalid points sort last
-    order = jnp.argsort(h)
-    h_s = h[order]
-    pts_s = points[order]
-    # within-bucket rank = position - first position of this bucket value
-    first = jnp.concatenate([jnp.array([True]), h_s[1:] != h_s[:-1]])
-    pos = jnp.arange(h_s.shape[0], dtype=jnp.int32)
-    run_start = jnp.where(first, pos, 0)
-    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
-    rank = pos - run_start
-    keep = (h_s < table_size) & (rank < max_per_cell)
-    dst_b = jnp.where(keep, h_s, table_size)      # park dropped rows
-    dst_s = jnp.where(keep, rank, 0)
-    table = jnp.zeros((table_size + 1, max_per_cell, 3), points.dtype)
-    table = table.at[dst_b, dst_s].set(pts_s)
-    counts = jnp.zeros(table_size + 1, jnp.int32).at[dst_b].add(keep.astype(jnp.int32))
-    return HashGrid(table=table[:table_size], counts=counts[:table_size],
-                    cell_size=cs)
-
-
-_OFFSETS = jnp.stack(jnp.meshgrid(
+_OFFSETS_27 = jnp.stack(jnp.meshgrid(
     jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
     indexing="ij"), axis=-1).reshape(27, 3)
 
-# z-halo queries scan only the 9 xy-neighbour cells at the query's own z —
-# the buckets themselves hold the z-column neighbourhood
+_OFFSETS_Z3 = jnp.array([[0, 0, 0], [0, 0, -1], [0, 0, 1]], jnp.int32)
+
 _OFFSETS_XY9 = jnp.stack(jnp.meshgrid(
     jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(0, 1),
     indexing="ij"), axis=-1).reshape(9, 3)
 
+_OFFSETS_1 = jnp.zeros((1, 3), jnp.int32)
 
-@partial(jax.jit, static_argnames=("k", "z_halo"))
+# insert multiplicity per layout / cells a query must scan per layout
+_INSERT_OFFSETS = {"none": _OFFSETS_1, "z": _OFFSETS_Z3, "full": _OFFSETS_27}
+_QUERY_OFFSETS = {"none": _OFFSETS_27, "z": _OFFSETS_XY9, "full": _OFFSETS_1}
+
+
+def _insert_core(table: jax.Array, counts: jax.Array, points: jax.Array,
+                 mask: jax.Array, cell_size: jax.Array, halo: str):
+    """Shared build/insert: emit K halo rows per point, sort all rows by
+    target bucket, rank within runs, scatter (see module docstring)."""
+    T, C, _ = table.shape
+    offsets = _INSERT_OFFSETS[halo].astype(jnp.int32)
+    K = offsets.shape[0]
+    M = points.shape[0]
+    coords = jnp.floor(points / cell_size).astype(jnp.int32)       # (M, 3)
+    cells = coords[:, None, :] + offsets[None]                     # (M, K, 3)
+    h = _cell_hash(cells, T)                                       # (M, K)
+    if K > 1:
+        # offset cells of the SAME point may hash-collide; a double insert
+        # wastes a slot and would double-count the point as a candidate
+        dup = jnp.any((h[:, :, None] == h[:, None, :])
+                      & (jnp.arange(K)[None, :, None]
+                         > jnp.arange(K)[None, None, :]), axis=2)  # (M, K)
+        keep_row = mask[:, None] & ~dup
+    else:
+        keep_row = jnp.broadcast_to(mask[:, None], (M, K))
+    hf = jnp.where(keep_row, h, T).reshape(-1)        # invalid rows sort last
+    pts = jnp.broadcast_to(points[:, None, :], (M, K, 3)).reshape(-1, 3)
+    order = jnp.argsort(hf)
+    h_s = hf[order]
+    pts_s = pts[order]
+    # within-bucket rank = position - first position of this bucket value
+    first = jnp.concatenate([jnp.array([True]), h_s[1:] != h_s[:-1]])
+    pos = jnp.arange(h_s.shape[0], dtype=jnp.int32)
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
+    rank = pos - run_start
+    ok = (h_s < T) & (rank < C)                   # at most C new per bucket
+    base = jnp.where(h_s < T, counts[jnp.minimum(h_s, T - 1)], 0)
+    slot = (base + rank) % C                      # ring overwrite on overflow
+    dst_b = jnp.where(ok, h_s, T)
+    padded = jnp.concatenate([table, jnp.full((1, C, 3), SENTINEL,
+                                              table.dtype)], axis=0)
+    padded = padded.at[dst_b, jnp.where(ok, slot, 0)].set(pts_s)
+    new = jnp.zeros(T + 1, jnp.int32).at[dst_b].add(ok.astype(jnp.int32))
+    counts = jnp.minimum(counts + new[:T], C)
+    return padded[:T], counts
+
+
+@partial(jax.jit, static_argnames=("table_size", "max_per_cell", "halo"))
+def build_grid(points: jax.Array, mask: jax.Array, cell_size: float,
+               table_size: int = 32768, max_per_cell: int = 16,
+               halo: str = "none") -> HashGrid:
+    cs = jnp.float32(cell_size)
+    table = jnp.full((table_size, max_per_cell, 3), SENTINEL, points.dtype)
+    counts = jnp.zeros(table_size, jnp.int32)
+    table, counts = _insert_core(table, counts, points, mask, cs, halo)
+    return HashGrid(table=table, counts=counts, cell_size=cs)
+
+
+@partial(jax.jit, static_argnames=("halo",))
+def insert_points(grid: HashGrid, points: jax.Array, mask: jax.Array,
+                  halo: str = "none") -> HashGrid:
+    """Incrementally insert points into an existing grid (the rolling local
+    map: new keyframe clouds are scattered in; no per-scan rebuild)."""
+    table, counts = _insert_core(grid.table, grid.counts, points, mask,
+                                 grid.cell_size, halo)
+    return HashGrid(table=table, counts=counts, cell_size=grid.cell_size)
+
+
+def gather_candidates(grid: HashGrid, queries: jax.Array) -> jax.Array:
+    """Full-halo single-bucket candidate fetch in the planar layout the fused
+    registration kernel consumes: (3C, N) with rows [x_0..x_{C-1}, y_*, z_*].
+    One contiguous C·12 B gather row per query."""
+    T, C, _ = grid.table.shape
+    coords = jnp.floor(queries / grid.cell_size).astype(jnp.int32)
+    hh = _cell_hash(coords, T)                                   # (N,)
+    cand = grid.table.reshape(T, C * 3)[hh]                      # (N, C*3)
+    N = queries.shape[0]
+    return jnp.transpose(cand.reshape(N, C, 3), (2, 1, 0)).reshape(3 * C, N)
+
+
+@partial(jax.jit, static_argnames=("k", "halo"))
 def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
-              k: int = 5, z_halo: bool = False) -> NeighborResult:
+              k: int = 5, halo: str = "none") -> NeighborResult:
     """Exact k-NN among the candidates in the cells around each query
-    (27 cells, or 9 xy cells when the grid was built with z_halo).
+    (27 cells for halo="none", 9 xy cells for "z", the query's own bucket
+    for "full" — matching how the grid was built).
 
     Correct for any neighbour within `cell_size` of the query (the radius the
     registration gate uses) as long as bucket occupancy <= C.
@@ -144,7 +182,7 @@ def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
     """
     T, C, _ = grid.table.shape
     N = queries.shape[0]
-    offsets = _OFFSETS_XY9 if z_halo else _OFFSETS
+    offsets = _QUERY_OFFSETS[halo]
     O = offsets.shape[0]
     qT = queries.T                                                   # (3, N)
     coords = jnp.floor(qT / grid.cell_size).astype(jnp.int32)        # (3, N)
@@ -152,23 +190,24 @@ def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
     cells = coords[:, None, :] + offs[:, :, None]                    # (3, O, N)
     h = (cells[0] * 73856093) ^ (cells[1] * 19349663) ^ (cells[2] * 83492791)
     hh = jnp.abs(h) % T                                              # (O, N)
-    # distinct offset cells may hash-collide to the same bucket; scanning it
-    # twice would duplicate candidates and crowd out true neighbours
-    dup = jnp.any((hh[:, None, :] == hh[None, :, :])
-                  & (jnp.arange(O)[:, None, None] > jnp.arange(O)[None, :, None]),
-                  axis=1)                                            # (O, N)
     flat = grid.table.reshape(T, C * 3)
     cand = flat[hh]                                                  # (O, N, 3C) wide gather
     candT = jnp.swapaxes(cand, 1, 2).reshape(O, C, 3, N)
-    cnt = grid.counts[hh]                                            # (O, N)
-    slot_ok = (jnp.arange(C)[None, :, None] < cnt[:, None, :]) & ~dup[:, None, :]
     R = O * C
     cx = candT[:, :, 0, :].reshape(R, N)
     cy = candT[:, :, 1, :].reshape(R, N)
     cz = candT[:, :, 2, :].reshape(R, N)
     d2 = ((cx - qT[0][None, :]) ** 2 + (cy - qT[1][None, :]) ** 2
           + (cz - qT[2][None, :]) ** 2)
-    d2 = jnp.where(slot_ok.reshape(R, N), d2, _BIG)
+    if O > 1:
+        # distinct offset cells may hash-collide to the same bucket; scanning
+        # it twice would duplicate candidates and crowd out true neighbours
+        dup = jnp.any((hh[:, None, :] == hh[None, :, :])
+                      & (jnp.arange(O)[:, None, None]
+                         > jnp.arange(O)[None, :, None]),
+                      axis=1)                                        # (O, N)
+        slot_ok = ~jnp.broadcast_to(dup[:, None, :], (O, C, N))
+        d2 = jnp.where(slot_ok.reshape(R, N), d2, _BIG)
     # k iterative masked mins along the (small) candidate axis.  Extraction
     # is by one-hot masked reductions — scatter/take_along_axis per k would
     # issue ~3kN tiny descriptors and costs ~2 ms at N=8k; the one-hot form
@@ -188,51 +227,15 @@ def query_knn(grid: HashGrid, queries: jax.Array, query_mask: jax.Array,
         dd = jnp.where(hot, _BIG, dd)
     neighbors = jnp.stack(nbs, axis=1)                               # (N, k, 3)
     best_d = jnp.stack(dsts, axis=1)                                 # (N, k)
-    valid = (best_d < _BIG) & query_mask[:, None]
+    valid = (best_d < _VALID_MAX) & query_mask[:, None]
     return NeighborResult(neighbors=neighbors,
                           dist2=jnp.where(valid, jnp.maximum(best_d, 0.0), _BIG),
                           valid=valid)
 
 
-@partial(jax.jit, static_argnames=("z_halo",))
-def insert_points(grid: HashGrid, points: jax.Array, mask: jax.Array,
-                  z_halo: bool = False) -> HashGrid:
-    """Incrementally insert points into an existing grid (the rolling local
-    map: new keyframe clouds are scattered in; no per-scan rebuild).  Slots
-    fill per-bucket; overflowing points overwrite the bucket ring-buffer style
-    (oldest-first), which bounds memory like the reference's rolling 50 m
-    local map window."""
-    T, C, _ = grid.table.shape
-    if z_halo:
-        h, points = _halo_keys(points, mask, grid.cell_size, T)
-    else:
-        coords = jnp.floor(points / grid.cell_size).astype(jnp.int32)
-        h = _cell_hash(coords, T)
-        h = jnp.where(mask, h, T)
-    # rank of each point within its bucket among THIS batch
-    order = jnp.argsort(h)
-    h_s = h[order]
-    pts_s = points[order]
-    first = jnp.concatenate([jnp.array([True]), h_s[1:] != h_s[:-1]])
-    pos = jnp.arange(h_s.shape[0], dtype=jnp.int32)
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
-    rank = pos - run_start
-    base = jnp.where(h_s < T, grid.counts[jnp.minimum(h_s, T - 1)], 0)
-    slot = (base + rank) % C                       # ring overwrite on overflow
-    keep = (h_s < T) & (rank < C)                  # at most C new per bucket
-    dst_b = jnp.where(keep, h_s, T)
-    padded_table = jnp.concatenate(
-        [grid.table, jnp.zeros((1, C, 3), grid.table.dtype)], axis=0)
-    padded_table = padded_table.at[dst_b, jnp.where(keep, slot, 0)].set(pts_s)
-    new_in_bucket = jnp.zeros(T + 1, jnp.int32).at[dst_b].add(keep.astype(jnp.int32))
-    counts = jnp.minimum(grid.counts + new_in_bucket[:T], C)
-    return HashGrid(table=padded_table[:T], counts=counts,
-                    cell_size=grid.cell_size)
-
-
 def empty_grid(cell_size: float, table_size: int = 32768,
                max_per_cell: int = 16, dtype=jnp.float32) -> HashGrid:
     return HashGrid(
-        table=jnp.zeros((table_size, max_per_cell, 3), dtype),
+        table=jnp.full((table_size, max_per_cell, 3), SENTINEL, dtype),
         counts=jnp.zeros(table_size, jnp.int32),
         cell_size=jnp.float32(cell_size))

@@ -167,7 +167,7 @@ def make_multislice_register(mesh: Mesh, cfg, min_correspondences: int = 50):
     def register(scan, scan_mask, map_pts, map_mask, init_pose):
         grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
                              cfg.grid_table_size, cfg.grid_max_per_cell,
-                             z_halo=cfg.grid_z_halo)
+                             halo=cfg.grid_halo)
 
         def cond(st):
             _, _, _, it, conv = st

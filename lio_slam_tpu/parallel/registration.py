@@ -51,7 +51,7 @@ def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
         # single-chip path; each device queries its scan shard against it
         grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
                              cfg.grid_table_size, cfg.grid_max_per_cell,
-                             z_halo=cfg.grid_z_halo)
+                             halo=cfg.grid_halo)
         def cond(st):
             pose, P_, degen, it, conv = st
             return (it < cfg.max_iterations) & ~conv

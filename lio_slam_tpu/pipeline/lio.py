@@ -273,7 +273,7 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
         world_pts = se3.transform_points(Rn, tn, scan_ds.xyz)
         state = state._replace(
             map_grid=vg.insert_points(state.map_grid, world_pts, scan_ds.mask,
-                                      z_halo=cfg.registration.grid_z_halo))
+                                      halo=cfg.registration.grid_halo))
 
     return state._replace(store=store, graph=g, pose=new_pose,
                           needs_full_solve=state.needs_full_solve | state.loop_closed,
@@ -304,7 +304,7 @@ def make_full_correction(cfg: Config):
                                      cfg.registration.nn_radius,
                                      cfg.registration.grid_table_size,
                                      cfg.registration.grid_max_per_cell,
-                                     z_halo=cfg.registration.grid_z_halo)
+                                     halo=cfg.registration.grid_halo)
                 state = state._replace(map_grid=grid)
             return state
 

@@ -90,8 +90,8 @@ def test_zhalo_matches_bruteforce_within_radius():
     rm, qm = jnp.ones(2000, bool), jnp.ones(300, bool)
 
     grid = vg.build_grid(refj, rm, cell_size=1.0, table_size=4096,
-                         max_per_cell=96, z_halo=True)
-    got = vg.query_knn(grid, qj, qm, k=5, z_halo=True)
+                         max_per_cell=96, halo="z")
+    got = vg.query_knn(grid, qj, qm, k=5, halo="z")
     ref_res = knn_mod.knn(qj, qm, refj, rm, k=5)
 
     in_radius = np.asarray(ref_res.dist2[:, 4]) < 1.0
@@ -110,15 +110,15 @@ def test_zhalo_incremental_insert_matches_batch_build():
 
     grid = vg.empty_grid(1.0, 2048, 96)
     grid = vg.insert_points(grid, jnp.asarray(a), jnp.ones(300, bool),
-                            z_halo=True)
+                            halo="z")
     grid = vg.insert_points(grid, jnp.asarray(b), jnp.ones(300, bool),
-                            z_halo=True)
-    inc = vg.query_knn(grid, q, qm, k=5, z_halo=True)
+                            halo="z")
+    inc = vg.query_knn(grid, q, qm, k=5, halo="z")
 
     both = jnp.asarray(np.concatenate([a, b]))
     grid2 = vg.build_grid(both, jnp.ones(600, bool), 1.0, 2048, 96,
-                          z_halo=True)
-    bat = vg.query_knn(grid2, q, qm, k=5, z_halo=True)
+                          halo="z")
+    bat = vg.query_knn(grid2, q, qm, k=5, halo="z")
 
     np.testing.assert_allclose(np.sort(np.asarray(inc.dist2), 1),
                                np.sort(np.asarray(bat.dist2), 1),
@@ -128,9 +128,9 @@ def test_zhalo_incremental_insert_matches_batch_build():
 def test_zhalo_masked_points_ignored():
     ref = jnp.concatenate([jnp.zeros((4, 3)), jnp.full((4, 3), 0.1)])
     rm = jnp.array([True] * 4 + [False] * 4)
-    grid = vg.build_grid(ref, rm, 1.0, 512, 16, z_halo=True)
+    grid = vg.build_grid(ref, rm, 1.0, 512, 16, halo="z")
     got = vg.query_knn(grid, jnp.zeros((1, 3)), jnp.ones(1, bool), k=5,
-                       z_halo=True)
+                       halo="z")
     assert int(got.valid.sum()) == 4
 
 
@@ -145,3 +145,77 @@ def test_insert_overflow_ring_overwrites():
     got = vg.query_knn(grid, jnp.asarray(pts[:1]), jnp.ones(1, bool), k=5)
     assert int(got.valid.sum()) == 5
     assert np.isfinite(np.asarray(got.dist2)).all()
+
+
+def test_fullhalo_matches_bruteforce_within_radius():
+    """full-halo layout (single-bucket query) is exact for in-radius
+    neighbours, same guarantee as the 27-cell layout."""
+    rs = np.random.RandomState(6)
+    ref = rs.randn(2000, 3).astype(np.float32) * 5
+    q = ref[rs.choice(2000, 300, replace=False)] + \
+        rs.randn(300, 3).astype(np.float32) * 0.1
+    refj, qj = jnp.asarray(ref), jnp.asarray(q)
+    rm, qm = jnp.ones(2000, bool), jnp.ones(300, bool)
+
+    grid = vg.build_grid(refj, rm, cell_size=1.0, table_size=4096,
+                         max_per_cell=160, halo="full")
+    got = vg.query_knn(grid, qj, qm, k=5, halo="full")
+    ref_res = knn_mod.knn(qj, qm, refj, rm, k=5)
+
+    in_radius = np.asarray(ref_res.dist2[:, 4]) < 1.0
+    gd = np.sort(np.asarray(got.dist2), axis=1)[in_radius]
+    bd = np.sort(np.asarray(ref_res.dist2), axis=1)[in_radius]
+    np.testing.assert_allclose(gd, bd, rtol=1e-3, atol=1e-4)
+    assert in_radius.sum() > 20
+
+
+def test_fullhalo_incremental_insert_matches_batch_build():
+    rs = np.random.RandomState(7)
+    a = rs.randn(300, 3).astype(np.float32) * 4
+    b = rs.randn(300, 3).astype(np.float32) * 4 + 2.0
+    q = jnp.asarray(a[:64])
+    qm = jnp.ones(64, bool)
+
+    grid = vg.empty_grid(1.0, 2048, 160)
+    grid = vg.insert_points(grid, jnp.asarray(a), jnp.ones(300, bool),
+                            halo="full")
+    grid = vg.insert_points(grid, jnp.asarray(b), jnp.ones(300, bool),
+                            halo="full")
+    inc = vg.query_knn(grid, q, qm, k=5, halo="full")
+
+    both = jnp.asarray(np.concatenate([a, b]))
+    grid2 = vg.build_grid(both, jnp.ones(600, bool), 1.0, 2048, 160,
+                          halo="full")
+    bat = vg.query_knn(grid2, q, qm, k=5, halo="full")
+
+    np.testing.assert_allclose(np.sort(np.asarray(inc.dist2), 1),
+                               np.sort(np.asarray(bat.dist2), 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fullhalo_masked_points_ignored():
+    ref = jnp.concatenate([jnp.zeros((4, 3)), jnp.full((4, 3), 0.1)])
+    rm = jnp.array([True] * 4 + [False] * 4)
+    grid = vg.build_grid(ref, rm, 1.0, 512, 64, halo="full")
+    got = vg.query_knn(grid, jnp.zeros((1, 3)), jnp.ones(1, bool), k=5,
+                       halo="full")
+    assert int(got.valid.sum()) == 4
+
+
+def test_gather_candidates_planar_layout():
+    """gather_candidates returns (3C, N) planar rows consistent with the
+    table bucket each query hashes to."""
+    rs = np.random.RandomState(8)
+    ref = rs.randn(400, 3).astype(np.float32) * 3
+    grid = vg.build_grid(jnp.asarray(ref), jnp.ones(400, bool), 1.0, 1024,
+                         64, halo="full")
+    q = jnp.asarray(ref[:32])
+    cand = np.asarray(vg.gather_candidates(grid, q))
+    C = 64
+    assert cand.shape == (3 * C, 32)
+    # cross-check against query_knn: the 1-NN of a query that coincides with
+    # a map point must appear among its candidates at distance ~0
+    cx, cy, cz = cand[:C], cand[C:2 * C], cand[2 * C:]
+    qn = np.asarray(q)
+    d2 = (cx - qn[:, 0]) ** 2 + (cy - qn[:, 1]) ** 2 + (cz - qn[:, 2]) ** 2
+    assert np.all(d2.min(axis=0) < 1e-8)
