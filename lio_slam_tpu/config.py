@@ -123,6 +123,12 @@ class RegistrationConfig:
     # production path); "rebuild" reassembles from nearby keyframes each scan
     # (the reference's extractNearby semantics, exact but slower)
     local_map_mode: str = "incremental"
+    # fused Pallas correspondence kernel (ops/fused_corr.py): distance,
+    # 5-NN, plane fit, robust weight, Jacobian and the 6x6 normal-equation
+    # reduction in one VMEM pass — 2.2x the unfused XLA pipeline per GN
+    # iteration on v5e.  Auto-disabled on the CPU backend (tests compare the
+    # two paths directly in interpret mode instead).
+    use_fused_kernel: bool = True
     # per-scan downsample: "voxel" = exact centroid grid (default);
     # "hash" = sort-free representative-point slots, ~10x cheaper but loses
     # ~ n_voxels^2 / 2*capacity voxels to slot collisions (birthday bound) —

@@ -1,0 +1,307 @@
+"""Fused correspondence + normal-equation Pallas TPU kernel.
+
+The scan-to-map GN inner iteration (`ops/registration.py`, mirroring
+`src/liorf/src/mapOptmization.cpp:1618-1784`) is, per scan point: 5-NN among
+the candidate bucket points, a plane fit, a robust residual, a Jacobian row,
+and a rank-1 update of the 6x6 normal equations.  As separate XLA ops this
+round-trips ~30 MB of intermediates (candidate copies, d2 matrix, one-hot
+top-k passes, J rows) through HBM per GN iteration — measured 3.1 ms/iter at
+8k points on a v5e.
+
+This kernel performs everything after the bucket gather in ONE pass over
+VMEM-resident tiles: a (TILE,) query tile loads its candidate block once,
+computes distances, extracts the 5 nearest by iterative one-hot min, fits
+planes via the closed-form Smith 3x3 eigensolver, applies every reference
+gate (5th-NN < nn_radius, plane validity 0.2 m, lam_mid conditioning, robust
+weight s > 0.1), builds the 6-column Jacobian, and accumulates the (6,6)/(6,)
+normal equations with one tiny MXU matmul per tile.  HBM traffic drops to a
+single read of the gathered candidates.
+
+Candidate layout is the planar bucket-major form produced by
+`gather_planar`: rows [x_0..x_{R-1}, y_*, z_*] x N lanes, R = O*C candidate
+slots (O = cells scanned per query for the grid's halo layout, C = bucket
+capacity — see `ops/voxel_grid.py`).  Duplicate-bucket suppression (distinct
+offset cells hash-colliding) folds into the kernel from the (O, N) bucket-id
+matrix instead of a masked HBM pass.
+
+Outputs pack into one (8, 128) f32 block:
+    [0:6, 0:6]  AtA        [0:6, 6]  Atb
+    [6, 0]      #inliers    [6, 1]  sum(s)    [6, 2]  sum(s*|pd2|)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lio_slam_tpu.ops import voxel_grid as vg
+from lio_slam_tpu.utils import se3
+
+_BIG = 1e30
+_VALID_MAX = vg._VALID_MAX
+
+
+def gather_planar(grid: vg.HashGrid, queries: jax.Array, halo: str):
+    """Candidate fetch in planar layout: (3R, N) rows-of-coordinates plus the
+    (O, N) bucket ids (for in-kernel duplicate suppression).  One wide
+    contiguous C*12 B gather row per (query, offset cell)."""
+    T, C, _ = grid.table.shape
+    offsets = vg._QUERY_OFFSETS[halo]
+    O = offsets.shape[0]
+    N = queries.shape[0]
+    qT = queries.T                                                # (3, N)
+    coords = jnp.floor(qT / grid.cell_size).astype(jnp.int32)
+    offs = offsets.T.astype(jnp.int32)                            # (3, O)
+    cells = coords[:, None, :] + offs[:, :, None]                 # (3, O, N)
+    h = (cells[0] * 73856093) ^ (cells[1] * 19349663) ^ (cells[2] * 83492791)
+    hh = jnp.abs(h) % T                                           # (O, N)
+    cand = grid.table.reshape(T, C * 3)[hh]                       # (O, N, 3C)
+    # (O, N, C, 3) -> (3, O, C, N) -> (3R, N)
+    planar = jnp.transpose(cand.reshape(O, N, C, 3), (3, 0, 2, 1))
+    return planar.reshape(3 * O * C, N), hh
+
+
+def _smith_smallest_eig(cxx, cxy, cxz, cyy, cyz, czz):
+    """Closed-form smallest eigenpair + middle eigenvalue of a symmetric 3x3
+    given as coefficient lanes (elementwise Smith method — the same math as
+    `registration._smallest_eigpair_3x3` restated on coordinate rows)."""
+    p1 = cxy * cxy + cxz * cxz + cyz * cyz
+    q = (cxx + cyy + czz) / 3.0
+    b00, b11, b22 = cxx - q, cyy - q, czz - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20) / 6.0)
+    inv_p = 1.0 / p
+    detB = (b00 * (b11 * b22 - cyz * cyz)
+            - cxy * (cxy * b22 - cyz * cxz)
+            + cxz * (cxy * cyz - b11 * cxz)) * inv_p * inv_p * inv_p
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    # c = cos(arccos(r)/3) without trig (Mosaic has no acos lowering): the
+    # triple-angle identity makes c the largest root of 4c^3 - 3c = r, found
+    # by Newton in [0.5, 1].  Init 0.5 + 0.5*sqrt((r+1)/2) is exact at both
+    # endpoints (incl. the r=-1 double root where Newton alone is slow).
+    c = 0.5 + 0.5 * jnp.sqrt(jnp.maximum((r + 1.0) * 0.5, 0.0))
+    for _ in range(6):
+        f = (4.0 * c * c * c) - 3.0 * c - r
+        fp = 12.0 * c * c - 3.0
+        c = jnp.clip(c - f / jnp.maximum(fp, 1e-3), 0.5, 1.0)
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    lam_max = q + 2.0 * p * c
+    lam_min = q + 2.0 * p * (-0.5 * c - 0.8660254037844386 * sin_phi)
+    lam_mid = 3.0 * q - lam_max - lam_min
+    # eigenvector: cross of two rows of (A - lam_min I), most-independent pair
+    m00, m11, m22 = cxx - lam_min, cyy - lam_min, czz - lam_min
+    # rows r0 = (m00, cxy, cxz), r1 = (cxy, m11, cyz), r2 = (cxz, cyz, m22)
+    c01x = cxy * cyz - cxz * m11
+    c01y = cxz * cxy - m00 * cyz
+    c01z = m00 * m11 - cxy * cxy
+    c02x = cxy * m22 - cxz * cyz
+    c02y = cxz * cxz - m00 * m22
+    c02z = m00 * cyz - cxy * cxz
+    c12x = m11 * m22 - cyz * cyz
+    c12y = cyz * cxz - cxy * m22
+    c12z = cxy * cyz - m11 * cxz
+    n01 = c01x * c01x + c01y * c01y + c01z * c01z
+    n02 = c02x * c02x + c02y * c02y + c02z * c02z
+    n12 = c12x * c12x + c12y * c12y + c12z * c12z
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = (~use01) & (n02 >= n12)
+    vx = jnp.where(use01, c01x, jnp.where(use02, c02x, c12x))
+    vy = jnp.where(use01, c01y, jnp.where(use02, c02y, c12y))
+    vz = jnp.where(use01, c01z, jnp.where(use02, c02z, c12z))
+    inv_n = 1.0 / jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-12)
+    vx, vy, vz = vx * inv_n, vy * inv_n, vz * inv_n
+    iso = p2 < 1e-12
+    vx = jnp.where(iso, 0.0, vx)
+    vy = jnp.where(iso, 0.0, vy)
+    vz = jnp.where(iso, 1.0, vz)
+    return lam_min, lam_mid, vx, vy, vz
+
+
+def _make_kernel(O: int, C: int, k: int, nn_radius: float,
+                 plane_dist_thresh: float, robust_weight_floor: float):
+    R = O * C
+
+    def kernel(dr_ref, cand_ref, hh_ref, scan_ref, scanw_ref, mask_ref,
+               out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        cx = cand_ref[0:R, :]
+        cy = cand_ref[R:2 * R, :]
+        cz = cand_ref[2 * R:3 * R, :]
+        qx = scanw_ref[0:1, :]
+        qy = scanw_ref[1:2, :]
+        qz = scanw_ref[2:3, :]
+        d2 = (cx - qx) ** 2 + (cy - qy) ** 2 + (cz - qz) ** 2   # (R, T)
+
+        if O > 1:
+            # distinct offset cells hash-colliding into one bucket: scanning
+            # the bucket twice would duplicate candidates (voxel_grid.query_knn
+            # does the same suppression on the host-side path)
+            hh = hh_ref[:]                                       # (O, T)
+            pieces = []
+            for o in range(O):
+                dup_o = jnp.zeros_like(hh[0:1, :], dtype=jnp.bool_)
+                for p in range(o):
+                    dup_o = dup_o | (hh[o:o + 1, :] == hh[p:p + 1, :])
+                pieces.append(jnp.where(dup_o, _BIG, 0.0))
+            bias = jnp.concatenate(
+                [jnp.broadcast_to(pc_, (C,) + pc_.shape[1:]) for pc_ in pieces],
+                axis=0)                                          # (R, T)
+            d2 = d2 + bias
+
+        # iterative one-hot 5-NN along the candidate (sublane) axis
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        nbx, nby, nbz, nnd = [], [], [], []
+        dd = d2
+        for _ in range(k):
+            am = jnp.argmin(dd, axis=0)                          # (T,)
+            hot = rows == am[None, :]
+            nnd.append(jnp.min(dd, axis=0)[None, :])             # (1, T)
+            nbx.append(jnp.sum(jnp.where(hot, cx, 0.0), axis=0)[None, :])
+            nby.append(jnp.sum(jnp.where(hot, cy, 0.0), axis=0)[None, :])
+            nbz.append(jnp.sum(jnp.where(hot, cz, 0.0), axis=0)[None, :])
+            dd = jnp.where(hot, _BIG, dd)
+
+        all_valid = nnd[k - 1][0] < _VALID_MAX                   # (T,)
+        nn_ok = all_valid & (nnd[k - 1][0] < nn_radius * nn_radius)
+
+        # covariance plane fit over the k neighbours
+        inv_k = 1.0 / k
+        mx = sum(nbx) * inv_k
+        my = sum(nby) * inv_k
+        mz = sum(nbz) * inv_k
+        cxx = sum((x - mx) * (x - mx) for x in nbx) * inv_k
+        cyy = sum((y - my) * (y - my) for y in nby) * inv_k
+        czz = sum((z - mz) * (z - mz) for z in nbz) * inv_k
+        cxy = sum((x - mx) * (y - my) for x, y in zip(nbx, nby)) * inv_k
+        cxz = sum((x - mx) * (z - mz) for x, z in zip(nbx, nbz)) * inv_k
+        cyz = sum((y - my) * (z - mz) for y, z in zip(nby, nbz)) * inv_k
+        lam_min, lam_mid, nx, ny, nz = _smith_smallest_eig(
+            cxx[0], cxy[0], cxz[0], cyy[0], cyz[0], czz[0])      # (T,) each
+        off = -(nx * mx[0] + ny * my[0] + nz * mz[0])
+        safe = lam_mid > 1e-3
+
+        plane_ok = jnp.ones_like(safe)
+        for j in range(k):
+            dist_j = jnp.abs(nx * nbx[j][0] + ny * nby[j][0]
+                             + nz * nbz[j][0] + off)
+            plane_ok = plane_ok & (dist_j <= plane_dist_thresh)
+
+        px = scan_ref[0, :]
+        py = scan_ref[1, :]
+        pz = scan_ref[2, :]
+        pd2 = nx * qx[0] + ny * qy[0] + nz * qz[0] + off
+        rng = jnp.sqrt(px * px + py * py + pz * pz)
+        s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(
+            jnp.maximum(rng, 1e-6)))
+        valid = ((mask_ref[0, :] > 0.5) & nn_ok & plane_ok & safe
+                 & all_valid & (s > robust_weight_floor))
+        w_s = jnp.where(valid, s, 0.0)                           # weight
+        w = w_s * w_s                                            # s^2
+
+        # Jacobian rows [n.(dR_k p), n] — dR flattened [i, j, k]
+        def dr(i_, j_, k_):
+            return dr_ref[0, i_ * 9 + j_ * 3 + k_]
+
+        jrows = []
+        for kk in range(3):
+            jrows.append(
+                nx * (dr(0, 0, kk) * px + dr(0, 1, kk) * py + dr(0, 2, kk) * pz)
+                + ny * (dr(1, 0, kk) * px + dr(1, 1, kk) * py + dr(1, 2, kk) * pz)
+                + nz * (dr(2, 0, kk) * px + dr(2, 1, kk) * py + dr(2, 2, kk) * pz))
+        jrows += [nx, ny, nz]
+        J = jnp.stack(jrows, axis=0)                             # (6, T)
+
+        AtA = jax.lax.dot_general(J * w[None, :], J,
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        Atb = -jnp.sum(J * (w * pd2)[None, :], axis=1)           # (6,)
+
+        # assemble the (8, 128) accumulator tile by concatenation (jnp .at
+        # updates lower to scatter, which Mosaic does not implement)
+        f32 = jnp.float32
+        top = jnp.concatenate(
+            [AtA, Atb[:, None], jnp.zeros((6, 121), f32)], axis=1)   # (6,128)
+        stats = jnp.concatenate(
+            [jnp.sum(valid.astype(f32)).reshape(1, 1),
+             jnp.sum(w_s).reshape(1, 1),
+             jnp.sum(w_s * jnp.abs(pd2)).reshape(1, 1),
+             jnp.zeros((1, 125), f32)], axis=1)                      # (1,128)
+        tile = jnp.concatenate(
+            [top, stats, jnp.zeros((1, 128), f32)], axis=0)          # (8,128)
+        out_ref[:] += tile
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("halo", "k", "nn_radius",
+                                   "plane_dist_thresh", "robust_weight_floor",
+                                   "tile", "interpret"))
+def fused_normal_equations(grid: vg.HashGrid, scan: jax.Array,
+                           scan_mask: jax.Array, pose6: jax.Array,
+                           halo: str, k: int = 5, nn_radius: float = 1.0,
+                           plane_dist_thresh: float = 0.2,
+                           robust_weight_floor: float = 0.1,
+                           tile: int = 512, interpret: bool = False):
+    """One fused surfOptimization + normal-equation pass at `pose6`.
+
+    Returns (AtA (6,6), Atb (6,), n_inliers (), weight_sum (), wres_sum ()).
+    Semantics identical to `registration.find_correspondences` +
+    `registration._normal_equations` on the grid path.
+    """
+    N = scan.shape[0]
+    if N % tile != 0:
+        tile = 128
+        if N % tile != 0:
+            raise ValueError(f"scan capacity {N} must be a multiple of 128")
+    T_, C, _ = grid.table.shape
+    O = vg._QUERY_OFFSETS[halo].shape[0]
+    R = O * C
+
+    Rm, t = se3.pose6_to_Rt(pose6)
+    scan_w = se3.transform_points(Rm, t, scan)
+    cand, hh = gather_planar(grid, scan_w, halo)                 # (3R, N), (O, N)
+    dR = jax.jacfwd(se3.rpy_to_matrix)(pose6[:3])                # (3, 3, 3)
+    dr_flat = jnp.zeros((1, 32), jnp.float32).at[0, :27].set(
+        dR.reshape(27).astype(jnp.float32))
+
+    kernel = _make_kernel(O, C, k, nn_radius, plane_dist_thresh,
+                          robust_weight_floor)
+    grid_steps = N // tile
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        grid=(grid_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3 * R, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(dr_flat, cand, hh, scan.T.astype(jnp.float32),
+      scan_w.T.astype(jnp.float32),
+      scan_mask.astype(jnp.float32)[None, :])
+
+    AtA = out[0:6, 0:6]
+    Atb = out[0:6, 6]
+    n_inl = out[6, 0].astype(jnp.int32)
+    return AtA, Atb, n_inl, out[6, 1], out[6, 2]

@@ -191,6 +191,26 @@ def _degeneracy_projection(AtA: jax.Array, eig_thresh: float):
     return P, degenerate
 
 
+def _maybe_fused(scan, scan_mask, grid, cfg: RegistrationConfig):
+    """Return the fused-kernel ne_fn when enabled and applicable (grid
+    backend, non-CPU platform — the CPU backend has no Mosaic compiler, and
+    the unfused XLA path is semantically identical there)."""
+    if grid is None or not cfg.use_fused_kernel:
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    from lio_slam_tpu.ops import fused_corr
+
+    def ne_fn(pose):
+        return fused_corr.fused_normal_equations(
+            grid, scan, scan_mask, pose, halo=cfg.grid_halo,
+            nn_radius=cfg.nn_radius,
+            plane_dist_thresh=cfg.plane_dist_thresh,
+            robust_weight_floor=cfg.robust_weight_floor)
+
+    return ne_fn
+
+
 class _LoopState(NamedTuple):
     pose: jax.Array
     P: jax.Array
@@ -202,16 +222,27 @@ class _LoopState(NamedTuple):
 
 
 def _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg: RegistrationConfig,
-             runnable, min_correspondences: int) -> RegistrationResult:
-    """Shared GN iteration loop; `corr_fn(pose) -> Correspondences`."""
+             runnable, min_correspondences: int,
+             ne_fn=None) -> RegistrationResult:
+    """Shared GN iteration loop.
+
+    `corr_fn(pose) -> Correspondences` is the unfused path; when `ne_fn` is
+    given (`ne_fn(pose) -> (AtA, Atb, n_inliers, weight_sum, wres_sum)`, the
+    fused Pallas kernel) it replaces correspondence + normal-equation
+    assembly wholesale."""
 
     def cond(st: _LoopState):
         return (st.it < cfg.max_iterations) & ~st.converged
 
     def body(st: _LoopState):
-        corr = corr_fn(st.pose)
-        n_inl = jnp.sum(corr.valid.astype(jnp.int32))
-        AtA, Atb = _normal_equations(scan, corr, st.pose)
+        if ne_fn is not None:
+            AtA, Atb, n_inl, w_sum, wres_sum = ne_fn(st.pose)
+        else:
+            corr = corr_fn(st.pose)
+            n_inl = jnp.sum(corr.valid.astype(jnp.int32))
+            AtA, Atb = _normal_equations(scan, corr, st.pose)
+            w_sum = jnp.sum(corr.weight)
+            wres_sum = jnp.sum(corr.weight * jnp.abs(corr.residual))
         # Levenberg damping epsilon keeps the solve finite when rank-deficient;
         # the degeneracy projection handles the semantics.  Unrolled Cholesky:
         # XLA's general 6x6 linalg.solve costs ~0.17 ms/iter on TPU.
@@ -233,8 +264,7 @@ def _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg: RegistrationConfig,
         delta_r_deg = jnp.linalg.norm(dx[:3]) * (180.0 / jnp.pi)
         delta_t_cm = jnp.linalg.norm(dx[3:]) * 100.0
         conv = ((delta_r_deg < cfg.rot_converge) & (delta_t_cm < cfg.trans_converge)) | ~enough
-        wsum = jnp.maximum(jnp.sum(corr.weight), 1e-6)
-        mean_res = jnp.sum(corr.weight * jnp.abs(corr.residual)) / wsum
+        mean_res = wres_sum / jnp.maximum(w_sum, 1e-6)
         return _LoopState(pose=pose, P=P, degenerate=degen, it=st.it + 1,
                           converged=conv, num_inliers=n_inl,
                           mean_residual=mean_res)
@@ -284,7 +314,8 @@ def register(scan: jax.Array, scan_mask: jax.Array,
     n_map = jnp.sum(map_mask.astype(jnp.int32))
     runnable = (n_scan > 30) & (n_map > 50)
     return _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg, runnable,
-                    min_correspondences)
+                    min_correspondences, ne_fn=_maybe_fused(scan, scan_mask,
+                                                            grid, cfg))
 
 
 @partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
@@ -303,7 +334,8 @@ def register_with_grid(scan: jax.Array, scan_mask: jax.Array,
     n_map = jnp.sum(grid.counts)
     runnable = (n_scan > 30) & (n_map > 50)
     return _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg, runnable,
-                    min_correspondences)
+                    min_correspondences, ne_fn=_maybe_fused(scan, scan_mask,
+                                                            grid, cfg))
 
 
 def transform_update(pose6: jax.Array, imu_rpy: jax.Array,
