@@ -129,12 +129,15 @@ class RegistrationConfig:
     # iteration on v5e.  Auto-disabled on the CPU backend (tests compare the
     # two paths directly in interpret mode instead).
     use_fused_kernel: bool = True
-    # per-scan downsample: "voxel" = exact centroid grid (default);
-    # "hash" = sort-free representative-point slots, ~10x cheaper but loses
+    # per-scan downsample: "packed" (default) = exact centroid grid via a
+    # 3-operand packed sort (30-bit exact voxel ids + quantized offsets,
+    # 1.4x cheaper than "voxel" and collision-free; needs the working volume
+    # under 1024 voxels/axis — true for any range-filtered scan);
+    # "voxel" = 5-column hash-id sort (any volume, used by map products);
+    # "hash" = sort-free representative-point slots, cheapest but loses
     # ~ n_voxels^2 / 2*capacity voxels to slot collisions (birthday bound) —
-    # measured 3x higher (still sub-cm) drift; opt in when the ~3 ms/scan
-    # matters more than map density
-    scan_downsample: str = "voxel"
+    # measured 3x higher (still sub-cm) drift
+    scan_downsample: str = "packed"
     z_tolerance: float = 1000.0           # |z| clamp (transformUpdate :1890)
     rotation_tolerance: float = 1000.0    # |roll|,|pitch| clamp
 

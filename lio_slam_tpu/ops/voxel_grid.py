@@ -113,9 +113,11 @@ def _insert_core(table: jax.Array, counts: jax.Array, points: jax.Array,
         keep_row = jnp.broadcast_to(mask[:, None], (M, K))
     hf = jnp.where(keep_row, h, T).reshape(-1)        # invalid rows sort last
     pts = jnp.broadcast_to(points[:, None, :], (M, K, 3)).reshape(-1, 3)
-    order = jnp.argsort(hf)
-    h_s = hf[order]
-    pts_s = pts[order]
+    # multi-operand sort carries the coordinates through the sort network
+    # directly (cheaper than argsort + three descriptor-bound row gathers)
+    h_s, px_s, py_s, pz_s = jax.lax.sort(
+        (hf, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1)
+    pts_s = jnp.stack([px_s, py_s, pz_s], axis=-1)
     # within-bucket rank = position - first position of this bucket value
     first = jnp.concatenate([jnp.array([True]), h_s[1:] != h_s[:-1]])
     pos = jnp.arange(h_s.shape[0], dtype=jnp.int32)

@@ -258,6 +258,9 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
     # invoked by the host — the reference's correctPoses runs on the mapping
     # thread after its separate loop thread queues factors, same structure)
     g = state.graph
+    # dense (W*6)^2 window solve: a block-Thomas chain solve was tried and
+    # measured 2x SLOWER on TPU (sequential 6x6 scalar chains are
+    # latency-bound; see tools/prof_window.py) — XLA's blocked Cholesky wins
     g = solver.solve_window_compact(g, store.count, cfg.static.window_size,
                                     iterations=2)
 
@@ -325,6 +328,9 @@ def make_lio_step(cfg: Config):
         if r.scan_downsample == "hash":
             scan_ds = pc.hash_downsample(inp.cloud, r.mapping_surf_leaf_size,
                                          s.max_scan_points)
+        elif r.scan_downsample == "packed":
+            scan_ds = pc.packed_voxel_downsample(
+                inp.cloud, r.mapping_surf_leaf_size, s.max_scan_points)
         else:
             scan_ds = pc.voxel_downsample(inp.cloud, r.mapping_surf_leaf_size,
                                           s.max_scan_points)

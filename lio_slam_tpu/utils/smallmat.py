@@ -56,6 +56,40 @@ def cholesky_solve(A: jax.Array, b: jax.Array, eps: float = 0.0) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
+def cholesky_solve_mat(A: jax.Array, B: jax.Array, eps: float = 0.0) -> jax.Array:
+    """Solve A X = B for SPD A (n x n) with matrix RHS B (n x m), fully
+    unrolled like `cholesky_solve` (batched over leading dims)."""
+    n = A.shape[-1]
+    m = B.shape[-1]
+    A = A + eps * jnp.eye(n, dtype=A.dtype)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    cols = []
+    for c in range(m):
+        y = [None] * n
+        for i in range(n):
+            s = B[..., i, c]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        cols.append(jnp.stack(x, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
 def eigh_jacobi(A: jax.Array, sweeps: int = 8):
     """Symmetric eigendecomposition by cyclic Jacobi rotations, fully
     unrolled (n static, small; `sweeps` full sweeps are plenty for n<=6 —

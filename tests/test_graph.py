@@ -145,3 +145,4 @@ def test_window_mask():
     m = solver.window_mask(pm, jnp.int32(10), 4)
     np.testing.assert_array_equal(np.asarray(m)[:10],
                                   [False] * 6 + [True] * 4)
+

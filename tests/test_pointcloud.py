@@ -102,3 +102,54 @@ def test_hash_downsample_masked_points_ignored():
     kept = np.asarray(out.xyz[np.asarray(out.mask)])
     assert (kept == 0).all()
     assert int(out.count()) == 1
+
+
+def test_packed_voxel_downsample_matches_exact():
+    """Packed 3-operand sort path must produce the same centroid set as the
+    5-column voxel_downsample (order may differ: packed sorts by exact
+    spatial id, not hash)."""
+    rs = np.random.RandomState(7)
+    xyz = (rs.randn(4000, 3) * 12).astype(np.float32)
+    c = pc.pad_cloud(xyz, 4096)
+    a = pc.voxel_downsample(c, 0.4, 4096)
+    b = pc.packed_voxel_downsample(c, 0.4, 4096)
+    # the hash path MERGES a few far-apart voxels on 32-bit collisions (16
+    # of 3996 at this density); exact packed ids never do, so packed >= hash
+    na, nb = int(a.count()), int(b.count())
+    assert nb >= na
+    assert nb - na < 0.01 * nb
+    # ground truth: the packed path must match the true voxel dictionary
+    cents = {}
+    for p in xyz:
+        key = tuple(np.floor(p / 0.4).astype(int))
+        cents.setdefault(key, []).append(p)
+    assert nb == len(cents)
+    expected = np.sort(np.array([np.mean(v, 0) for v in cents.values()]), 0)
+    got = np.sort(np.asarray(b.xyz[np.asarray(b.mask)]), 0)
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_packed_voxel_downsample_vs_numpy_reference():
+    rs = np.random.RandomState(11)
+    xyz = (rs.rand(500, 3) * 20 - 10).astype(np.float32)
+    out = pc.packed_voxel_downsample(pc.pad_cloud(xyz, 512), 1.0, 512)
+    cents = {}
+    for p in xyz:
+        key = tuple(np.floor(p / 1.0).astype(int))
+        cents.setdefault(key, []).append(p)
+    expected = np.sort(np.array([np.mean(v, axis=0) for v in cents.values()]),
+                       axis=0)
+    got = np.sort(np.asarray(out.xyz[np.asarray(out.mask)]), axis=0)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_packed_voxel_downsample_masked_and_far_points():
+    # masked points ignored; points beyond the 1024-voxel span are dropped
+    xyz = np.zeros((8, 3), np.float32)
+    xyz[4:] = 10_000.0                      # 25k voxels away at leaf 0.4
+    mask = np.array([True, True, False, False, True, False, False, False])
+    out = pc.packed_voxel_downsample(pc.make_cloud(xyz, mask), 0.4, 8)
+    # far valid point exceeds the span from the min corner -> dropped
+    assert int(out.count()) == 1
+    np.testing.assert_allclose(np.asarray(out.xyz[0]), np.zeros(3), atol=1e-5)
