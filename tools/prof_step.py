@@ -147,12 +147,3 @@ def packed_body(c):
 timeit("packed_voxel_downsample 32k->8k", loop(packed_body))
 timeit("insert_points z 8k (multi-op sort)", loop(insert_body))
 
-
-def tridiag_body(c):
-    g = g0._replace(poses=g0.poses.at[0, 3].add(c * 1e-9))
-    g = solver.solve_window_tridiag(g, jnp.int32(64), cfg.static.window_size,
-                                    iterations=2)
-    return c + g.poses.sum()
-
-
-timeit("solve_window_tridiag x2 (W=32)", loop(tridiag_body))
