@@ -47,9 +47,17 @@ class ScanResult:
 
 
 class Runner:
-    def __init__(self, cfg: Optional[Config] = None, loop_every: int = 10):
+    def __init__(self, cfg: Optional[Config] = None, loop_every: int = 10,
+                 record_bag: Optional[str] = None):
+        """record_bag: write the odometry/gpsdata outputs to a ROS1 bag —
+        the reference's saveBagFlag path (mapOptmization.cpp:243-246,
+        2244-2246 writes /liorf/mapping/odometry per mapping step)."""
         self.cfg = cfg or get_config("default")
         self.loop_every = loop_every
+        self._bag = None
+        if record_bag:
+            from lio_slam_tpu.io.rosbag import BagWriter
+            self._bag = BagWriter(record_bag)
         self.step = lio.make_lio_step(self.cfg)
         self.full_correct = lio.make_full_correction(self.cfg)
         self.detector = loop_closure.make_loop_detector(self.cfg)
@@ -177,11 +185,42 @@ class Runner:
                 self.scan_count % self.loop_every == 0):
             self.state = self.detector(self.state)
 
-        return ScanResult(
+        result = ScanResult(
             pose=pose, incremental=np.asarray(out.incremental),
             degenerate=bool(out.degenerate), is_keyframe=bool(out.is_keyframe),
             num_inliers=int(out.num_inliers), positioning_mode=mode,
             imu_rate_poses=None if rate_poses is None else np.asarray(rate_poses))
+        if self._bag is not None:
+            self._record_outputs(scan.stamp, result)
+        return result
+
+    def _record_outputs(self, stamp: float, r: ScanResult):
+        """saveBagFlag parity: per mapping step, write the global odometry
+        (and gpsdata once an ENU datum exists) to the output bag, carrying the
+        degenerate flag in covariance[0] (publishOdometry :2309-2312)."""
+        from lio_slam_tpu.io import rosbag as rb
+        q = np.asarray(se3.matrix_to_quat(se3.rpy_to_matrix(
+            jnp.asarray(r.pose[:3]))), np.float64)      # (w, x, y, z)
+        quat_xyzw = np.array([q[1], q[2], q[3], q[0]])
+        cov = np.zeros(36)
+        cov[0] = 1.0 if r.degenerate else 0.0
+        self._bag.write(
+            "/liorf/mapping/odometry", "nav_msgs/Odometry",
+            rb.encode_odometry(stamp, r.pose[3:6].astype(np.float64),
+                               quat_xyzw, pose_covariance=cov,
+                               frame_id="odom", child="base_link"), stamp)
+        if self.gps_intake.datum is not None:
+            fo = self.fusion_output(stamp)
+            self._bag.write(
+                "/liorf/gpsdata", "sensor_driver_msgs/GpswithHeading",
+                rb.encode_gps_with_heading(
+                    stamp, fo.latitude, fo.longitude, fo.altitude,
+                    fo.heading, fo.pitch, fo.roll, mode=fo.mode), stamp)
+
+    def close_bag(self):
+        if self._bag is not None:
+            self._bag.close()
+            self._bag = None
 
     # -- products ---------------------------------------------------------
 
@@ -222,7 +261,8 @@ class Runner:
 def _run_synthetic(args):
     from lio_slam_tpu.io import synthetic
     cfg = get_config(args.preset)
-    runner = Runner(cfg, loop_every=args.loop_every)
+    runner = Runner(cfg, loop_every=args.loop_every,
+                    record_bag=args.record_bag)
     seq = synthetic.make_sequence(n_scans=args.scans, n_points=args.points,
                                   seed=args.seed)
     t0 = time.time()
@@ -265,6 +305,9 @@ def _run_synthetic(args):
     if args.save_map:
         res = runner.save_map(args.save_map, resolution=0.4)
         summary["saved"] = res.files
+    runner.close_bag()
+    if args.record_bag:
+        summary["recorded_bag"] = args.record_bag
     print(json.dumps(summary))
 
 
@@ -274,7 +317,8 @@ def _run_bag(args):
     from lio_slam_tpu.io.bag_replay import BagTopics, replay_bag
 
     cfg = get_config(args.preset)
-    runner = Runner(cfg, loop_every=args.loop_every)
+    runner = Runner(cfg, loop_every=args.loop_every,
+                    record_bag=args.record_bag)
     topics = BagTopics(lidar=args.lidar_topic, imu=args.imu_topic,
                        gps=args.gps_topic, sensor=args.sensor)
     t0 = time.time()
@@ -297,6 +341,9 @@ def _run_bag(args):
     if args.save_map:
         res = runner.save_map(args.save_map, resolution=0.4)
         summary["saved"] = res.files
+    runner.close_bag()
+    if args.record_bag:
+        summary["recorded_bag"] = args.record_bag
     print(json.dumps(summary))
 
 
@@ -316,6 +363,9 @@ def main():
     ap.add_argument("--preset", default="default")
     ap.add_argument("--loop-every", type=int, default=10)
     ap.add_argument("--save-map", default=None)
+    ap.add_argument("--record-bag", default=None,
+                    help="write odometry/gpsdata outputs to a .bag "
+                         "(reference saveBagFlag)")
     args = ap.parse_args()
     if args.bag:
         _run_bag(args)

@@ -89,3 +89,29 @@ def test_fusion_output_without_gps(seq):
     runner.process_scan(scan_at(seq, 0))
     fo = runner.fusion_output(stamp=0.0)
     assert np.isfinite([fo.latitude, fo.longitude, fo.heading]).all()
+
+
+def test_record_output_bag(tmp_path, seq):
+    """saveBagFlag parity: odometry written per step round-trips through the
+    bag reader with the degenerate-flag covariance contract intact."""
+    from lio_slam_tpu.io import rosbag as rb
+
+    path = str(tmp_path / "out.bag")
+    runner = Runner(small_cfg(), loop_every=100, record_bag=path)
+    for i in range(5):
+        runner.process_scan(scan_at(seq, i))
+    runner.close_bag()
+
+    reader = rb.BagReader(path)
+    msgs = [m for m in reader.read_messages(["/liorf/mapping/odometry"])]
+    assert len(msgs) == 5
+    for i, m in enumerate(msgs):
+        od = rb.decode_odometry(m.raw)
+        assert np.allclose(od.position, runner.trajectory[i][3:6], atol=1e-6)
+        assert od.pose_covariance[0] in (0.0, 1.0)
+    # quaternion round-trips to the estimated rpy
+    od = rb.decode_odometry(msgs[-1].raw)
+    q = np.asarray(od.orientation)  # xyzw
+    R = np.asarray(se3.quat_to_matrix(jnp.asarray([q[3], q[0], q[1], q[2]])))
+    rpy = np.asarray(se3.matrix_to_rpy(jnp.asarray(R)))
+    assert np.allclose(rpy, runner.trajectory[-1][:3], atol=1e-5)

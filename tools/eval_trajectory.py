@@ -19,10 +19,29 @@ import sys
 import numpy as np
 
 
-def load_traj(path: str) -> np.ndarray:
+def load_traj(path: str, bag_topic: str = "/liorf/mapping/odometry") -> np.ndarray:
     if path.endswith(".npz"):
         d = np.load(path)
         return np.asarray(d["poses"], np.float64)
+    if path.endswith(".bag"):
+        # recorded odometry bag (Runner --record-bag, or the reference's
+        # `rosbag record /liorf/mapping/odometry` workflow, README.md:173-198)
+        import os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from lio_slam_tpu.io import rosbag as rb
+        poses = []
+        for m in rb.BagReader(path).read_messages([bag_topic]):
+            od = rb.decode_odometry(m.raw)
+            q = od.orientation  # x y z w
+            # yaw/pitch/roll from quaternion (ZYX)
+            x, y, z, w = q
+            roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+            pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1, 1))
+            yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+            poses.append([roll, pitch, yaw, *od.position])
+        if not poses:
+            raise SystemExit(f"no {bag_topic} messages in {path}")
+        return np.asarray(poses, np.float64)
     data = np.loadtxt(path, delimiter=",", ndmin=2)
     if data.shape[1] >= 6:
         return data[:, :6]
@@ -69,10 +88,12 @@ def main():
     ap.add_argument("--no-align", action="store_true")
     ap.add_argument("--rpe-delta", type=int, default=10)
     ap.add_argument("--plot", default=None)
+    ap.add_argument("--bag-topic", default="/liorf/mapping/odometry",
+                    help="odometry topic when an input is a .bag")
     args = ap.parse_args()
 
-    est = load_traj(args.est)
-    truth = load_traj(args.truth)
+    est = load_traj(args.est, args.bag_topic)
+    truth = load_traj(args.truth, args.bag_topic)
     n = min(len(est), len(truth))
     est, truth = est[:n], truth[:n]
 
