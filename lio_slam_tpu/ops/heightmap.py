@@ -69,3 +69,96 @@ def inpaint_nearest(hm: HeightMap, iterations: int = 4) -> jax.Array:
 
     e, known = jax.lax.fori_loop(0, iterations, body, (e, known))
     return jnp.where(known > 0, e, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# filter layers (grid_map_filters / grid_map_sdf capability equivalents)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def normals_and_slope(hm: HeightMap):
+    """Surface normals + slope from the elevation layer.
+
+    Capability equivalent of grid_map_filters' NormalVectorsFilter /
+    SlopeFilter (`src/grid_map/grid_map_filters/src/NormalVectorsFilter.cpp`):
+    central differences on elevation -> unit normal (H, W, 3) and slope angle
+    (H, W) rad.  NaN cells propagate NaN."""
+    e = hm.elevation
+    res = hm.resolution
+    filled = jnp.where(jnp.isnan(e), 0.0, e)
+    ok = ~jnp.isnan(e)
+    # one-sided at NaN neighbours: fall back to the centre value
+    ep = jnp.where(jnp.roll(ok, -1, 0), jnp.roll(filled, -1, 0), filled)
+    em = jnp.where(jnp.roll(ok, 1, 0), jnp.roll(filled, 1, 0), filled)
+    dzdx = (ep - em) / (2 * res)
+    ep = jnp.where(jnp.roll(ok, -1, 1), jnp.roll(filled, -1, 1), filled)
+    em = jnp.where(jnp.roll(ok, 1, 1), jnp.roll(filled, 1, 1), filled)
+    dzdy = (ep - em) / (2 * res)
+    n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(dzdx)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    slope = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+    nanm = jnp.isnan(e)
+    return (jnp.where(nanm[..., None], jnp.nan, n),
+            jnp.where(nanm, jnp.nan, slope))
+
+
+@partial(jax.jit, static_argnames=())
+def signed_distance_2d(occupied: jax.Array, resolution) -> jax.Array:
+    """2D signed distance to the occupied-cell set, meters (positive outside,
+    negative inside).
+
+    Capability equivalent of grid_map_sdf's per-layer 2D distance field
+    (`src/grid_map/grid_map_sdf/src/SignedDistanceField.cpp` builds per-slice
+    2D EDTs).  Jump-flooding over roll-shifted seed maps: O(log n) passes of
+    a 9-neighbour min — exact for convex regions, <=1-cell error elsewhere
+    (JFA's standard bound), and entirely gather-free on TPU."""
+    H, W = occupied.shape
+    ii, jj = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+    def edt(seed_mask):
+        # nearest-seed coordinates per cell, INF where unknown yet
+        big = jnp.float32(1e9)
+        si = jnp.where(seed_mask, ii, big)
+        sj = jnp.where(seed_mask, jj, big)
+
+        def pass_at(step, carry):
+            si, sj = carry
+            best_d = jnp.where(si < big, (si - ii) ** 2 + (sj - jj) ** 2, jnp.inf)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    ci = jnp.roll(si, (di * step, dj * step), (0, 1))
+                    cj = jnp.roll(sj, (di * step, dj * step), (0, 1))
+                    d = jnp.where(ci < big, (ci - ii) ** 2 + (cj - jj) ** 2,
+                                  jnp.inf)
+                    take = d < best_d
+                    si = jnp.where(take, ci, si)
+                    sj = jnp.where(take, cj, sj)
+                    best_d = jnp.where(take, d, best_d)
+            return si, sj
+
+        n_pass = max(H, W).bit_length()
+        for p in range(n_pass):
+            step = 1 << (n_pass - 1 - p)
+            si, sj = pass_at(step, (si, sj))
+        si, sj = pass_at(1, (si, sj))    # standard JFA+1 cleanup pass
+        d2 = jnp.where(si < big, (si - ii) ** 2 + (sj - jj) ** 2, jnp.inf)
+        return jnp.sqrt(d2)
+
+    occupied = occupied.astype(bool)
+    d_out = edt(occupied)                 # distance to nearest occupied
+    d_in = edt(~occupied)                 # distance to nearest free
+    res = jnp.asarray(resolution, jnp.float32)
+    return jnp.where(occupied, -d_in, d_out) * res
+
+
+@jax.jit
+def obstacle_sdf(hm: HeightMap, reference_z, clearance: float = 0.3) -> jax.Array:
+    """Planning-facing product: signed distance (m) to cells whose elevation
+    rises more than `clearance` above `reference_z` (vehicle footprint z).
+    Empty cells count as free space."""
+    occ = (~jnp.isnan(hm.elevation)) & (hm.elevation > reference_z + clearance)
+    return signed_distance_2d(occ, hm.resolution)

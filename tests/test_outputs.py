@@ -127,3 +127,63 @@ class TestLocalMapAndSave:
         store = kfm.empty_store(8, 64)
         res = outputs.save_map(store, str(tmp_path / "m2"))
         assert not res.success
+
+
+class TestFilterLayers:
+    """grid_map_filters / grid_map_sdf capability equivalents."""
+
+    def _plane_hm(self, gx=0.1, gy=0.0, H=32, W=32, res=0.5):
+        ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        elev = (gx * ii + gy * jj) * res
+        return hm.HeightMap(
+            elevation=jnp.asarray(elev, jnp.float32),
+            min_z=jnp.asarray(elev, jnp.float32),
+            count=jnp.ones((H, W), jnp.int32),
+            origin=jnp.zeros(2), resolution=jnp.float32(res))
+
+    def test_normals_slope_plane(self):
+        # z = 0.1*x plane: slope = atan(0.1), normal ~ (-0.1, 0, 1)/|.|
+        h = self._plane_hm(gx=0.1)
+        n, slope = hm.normals_and_slope(h)
+        n = np.asarray(n)[2:-2, 2:-2]
+        slope = np.asarray(slope)[2:-2, 2:-2]
+        np.testing.assert_allclose(slope, np.arctan(0.1), atol=1e-3)
+        expect = np.array([-0.1, 0, 1.0]) / np.linalg.norm([0.1, 0, 1.0])
+        np.testing.assert_allclose(n.reshape(-1, 3).mean(0), expect, atol=1e-3)
+
+    def test_normals_nan_propagation(self):
+        h = self._plane_hm()
+        e = np.asarray(h.elevation).copy()
+        e[5, 5] = np.nan
+        h = h._replace(elevation=jnp.asarray(e))
+        n, slope = hm.normals_and_slope(h)
+        assert np.isnan(np.asarray(slope)[5, 5])
+        assert np.isfinite(np.asarray(slope)[10, 10])
+
+    def test_sdf_exact_vs_bruteforce(self):
+        rng = np.random.default_rng(3)
+        occ = rng.random((48, 48)) < 0.04
+        occ[20:24, 20:24] = True
+        d = np.asarray(hm.signed_distance_2d(jnp.asarray(occ), 1.0))
+        ii, jj = np.nonzero(occ)
+        fi, fj = np.nonzero(~occ)
+        # brute-force unsigned distances
+        pts = np.stack([ii, jj], 1).astype(np.float64)
+        grid = np.stack(np.meshgrid(np.arange(48), np.arange(48),
+                                    indexing="ij"), -1).reshape(-1, 2)
+        d_occ = np.sqrt(((grid[:, None, :] - pts[None]) ** 2).sum(-1)).min(1)
+        free = np.stack([fi, fj], 1).astype(np.float64)
+        d_free = np.sqrt(((grid[:, None, :] - free[None]) ** 2).sum(-1)).min(1)
+        ref = np.where(occ.reshape(-1), -d_free, d_occ).reshape(48, 48)
+        # JFA is exact up to ~1 cell in rare configurations
+        assert np.abs(d - ref).max() <= 1.0 + 1e-6
+        assert (np.abs(d - ref) < 1e-5).mean() > 0.98
+
+    def test_obstacle_sdf_sign(self):
+        h = self._plane_hm(gx=0.0)
+        e = np.asarray(h.elevation).copy()
+        e[10:14, 10:14] = 2.0            # an obstacle block
+        h = h._replace(elevation=jnp.asarray(e))
+        d = np.asarray(hm.obstacle_sdf(h, reference_z=0.0, clearance=0.3))
+        assert d[12, 12] < 0             # inside the obstacle
+        assert d[0, 0] > 5 * 0.5 - 1e-3  # far away, meters scale = res
