@@ -31,7 +31,9 @@ def bench_config() -> Config:
             max_raw_points=32768, max_scan_points=8192, max_map_points=65536,
             max_keyframes=256, max_keyframe_points=8192,
             max_loop_queue=8, max_gps_queue=8, window_size=32),
-        registration=RegistrationConfig(),
+        # corr_refresh_every=2: hold the gathered candidate superset for one
+        # extra GN iteration (in-kernel 5-NN still re-selects per iteration)
+        registration=RegistrationConfig(corr_refresh_every=2),
     )
 
 

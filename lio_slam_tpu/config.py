@@ -129,6 +129,14 @@ class RegistrationConfig:
     # iteration on v5e.  Auto-disabled on the CPU backend (tests compare the
     # two paths directly in interpret mode instead).
     use_fused_kernel: bool = True
+    # correspondence refresh period for the fused path: 1 = re-gather the
+    # candidate buckets every GN iteration (the reference re-runs its kd-tree
+    # 5-NN per iteration, surfOptimization inside the :1848 loop); n>1 holds
+    # the gathered 1 m-cell candidate SUPERSET for n-1 iterations while the
+    # kernel still re-selects 5-NN at each new pose — near-lossless (GN steps
+    # are <5 cm near convergence) and skips the HBM gather (~87% of the
+    # fused call) on the held iterations
+    corr_refresh_every: int = 1
     # per-scan downsample: "packed" (default) = exact centroid grid via a
     # 3-operand packed sort (30-bit exact voxel ids + quantized offsets,
     # 1.4x cheaper than "voxel" and collision-free; needs the working volume

@@ -245,30 +245,32 @@ def _make_kernel(O: int, C: int, k: int, nn_radius: float,
 @partial(jax.jit, static_argnames=("halo", "k", "nn_radius",
                                    "plane_dist_thresh", "robust_weight_floor",
                                    "tile", "interpret"))
-def fused_normal_equations(grid: vg.HashGrid, scan: jax.Array,
-                           scan_mask: jax.Array, pose6: jax.Array,
-                           halo: str, k: int = 5, nn_radius: float = 1.0,
-                           plane_dist_thresh: float = 0.2,
-                           robust_weight_floor: float = 0.1,
-                           tile: int = 512, interpret: bool = False):
-    """One fused surfOptimization + normal-equation pass at `pose6`.
+def fused_ne_from_candidates(cand: jax.Array, hh: jax.Array, scan: jax.Array,
+                             scan_mask: jax.Array, pose6: jax.Array,
+                             halo: str, k: int = 5, nn_radius: float = 1.0,
+                             plane_dist_thresh: float = 0.2,
+                             robust_weight_floor: float = 0.1,
+                             tile: int = 512, interpret: bool = False):
+    """The kernel half of `fused_normal_equations`, given a pre-gathered
+    candidate block `(cand, hh)` from `gather_planar`.
 
-    Returns (AtA (6,6), Atb (6,), n_inliers (), weight_sum (), wres_sum ()).
-    Semantics identical to `registration.find_correspondences` +
-    `registration._normal_equations` on the grid path.
+    The HBM bucket gather is ~87% of the fused call; GN steps move points by
+    <5 cm so the 1 m-cell candidate SUPERSET is stable across iterations —
+    the in-kernel 5-NN still re-selects at the new pose, so reusing `cand`
+    between refreshes only misses candidates for the rare point that crosses
+    a cell boundary mid-optimization (RegistrationConfig.corr_refresh_every).
     """
     N = scan.shape[0]
     if N % tile != 0:
         tile = 128
         if N % tile != 0:
             raise ValueError(f"scan capacity {N} must be a multiple of 128")
-    T_, C, _ = grid.table.shape
     O = vg._QUERY_OFFSETS[halo].shape[0]
-    R = O * C
+    R = cand.shape[0] // 3
+    C = R // O
 
     Rm, t = se3.pose6_to_Rt(pose6)
     scan_w = se3.transform_points(Rm, t, scan)
-    cand, hh = gather_planar(grid, scan_w, halo)                 # (3R, N), (O, N)
     dR = jax.jacfwd(se3.rpy_to_matrix)(pose6[:3])                # (3, 3, 3)
     dr_flat = jnp.zeros((1, 32), jnp.float32).at[0, :27].set(
         dR.reshape(27).astype(jnp.float32))
@@ -305,3 +307,28 @@ def fused_normal_equations(grid: vg.HashGrid, scan: jax.Array,
     Atb = out[0:6, 6]
     n_inl = out[6, 0].astype(jnp.int32)
     return AtA, Atb, n_inl, out[6, 1], out[6, 2]
+
+
+@partial(jax.jit, static_argnames=("halo", "k", "nn_radius",
+                                   "plane_dist_thresh", "robust_weight_floor",
+                                   "tile", "interpret"))
+def fused_normal_equations(grid: vg.HashGrid, scan: jax.Array,
+                           scan_mask: jax.Array, pose6: jax.Array,
+                           halo: str, k: int = 5, nn_radius: float = 1.0,
+                           plane_dist_thresh: float = 0.2,
+                           robust_weight_floor: float = 0.1,
+                           tile: int = 512, interpret: bool = False):
+    """One fused surfOptimization + normal-equation pass at `pose6`.
+
+    Returns (AtA (6,6), Atb (6,), n_inliers (), weight_sum (), wres_sum ()).
+    Semantics identical to `registration.find_correspondences` +
+    `registration._normal_equations` on the grid path.
+    """
+    Rm, t = se3.pose6_to_Rt(pose6)
+    scan_w = se3.transform_points(Rm, t, scan)
+    cand, hh = gather_planar(grid, scan_w, halo)                 # (3R, N), (O, N)
+    return fused_ne_from_candidates(
+        cand, hh, scan, scan_mask, pose6, halo, k=k, nn_radius=nn_radius,
+        plane_dist_thresh=plane_dist_thresh,
+        robust_weight_floor=robust_weight_floor, tile=tile,
+        interpret=interpret)

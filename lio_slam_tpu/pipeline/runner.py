@@ -222,6 +222,24 @@ class Runner:
             self._bag.close()
             self._bag = None
 
+    def close(self):
+        """Shutdown: auto-save the global map when cfg.output.save_pcd is set
+        (visualizeGlobalMapThread :981-989 saves at exit when savePCD) and
+        flush the output bag."""
+        result = None
+        if self.cfg.output.save_pcd and int(self.state.store.count) > 0:
+            result = self.save_map(self.cfg.output.save_directory,
+                                   resolution=self.cfg.output.global_map_leaf_size)
+        self.close_bag()
+        return result
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     # -- products ---------------------------------------------------------
 
     def local_planning_map(self):

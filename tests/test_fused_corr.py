@@ -123,3 +123,40 @@ def test_fused_empty_map():
     assert int(n_inl) == 0
     assert float(jnp.abs(AtA).sum()) == 0.0
     assert float(jnp.abs(Atb).sum()) == 0.0
+
+
+def test_from_candidates_held_superset(halo="z", cap=24):
+    """corr_refresh_every semantics: the kernel fed a candidate block
+    gathered at a NEARBY pose re-selects 5-NN at the evaluation pose and
+    matches the fresh-gather system (GN-step-sized pose deltas keep the
+    1 m-cell candidate superset intact for virtually every point)."""
+    from lio_slam_tpu.utils import se3
+
+    map_pts, scan = make_scene(seed=2)
+    N = scan.shape[0]
+    cfg = RegistrationConfig(grid_halo=halo, grid_max_per_cell=cap)
+    mask = jnp.ones(N, bool)
+    grid = vg.build_grid(jnp.asarray(map_pts), jnp.ones(len(map_pts), bool),
+                         cfg.nn_radius, 4096, cap, halo=halo)
+    pose0 = jnp.asarray([0.02, -0.01, 0.3, 0.5, -0.2, 0.1], jnp.float32)
+    # a GN-step-sized move away from the gather pose
+    pose1 = pose0 + jnp.asarray([1e-4, -2e-4, 3e-4, 0.004, -0.003, 0.002])
+
+    R0, t0 = se3.pose6_to_Rt(pose0)
+    cand, hh = fused_corr.gather_planar(
+        grid, se3.transform_points(R0, t0, jnp.asarray(scan)), halo)
+    held = fused_corr.fused_ne_from_candidates(
+        cand, hh, jnp.asarray(scan), mask, pose1, halo=halo,
+        nn_radius=cfg.nn_radius, plane_dist_thresh=cfg.plane_dist_thresh,
+        robust_weight_floor=cfg.robust_weight_floor, tile=128, interpret=True)
+    fresh = fused_corr.fused_normal_equations(
+        grid, jnp.asarray(scan), mask, pose1, halo=halo,
+        nn_radius=cfg.nn_radius, plane_dist_thresh=cfg.plane_dist_thresh,
+        robust_weight_floor=cfg.robust_weight_floor, tile=128, interpret=True)
+
+    # inlier counts may differ by the rare cell-boundary crosser
+    assert abs(int(held[2]) - int(fresh[2])) <= max(2, int(0.01 * N))
+    np.testing.assert_allclose(np.asarray(held[0]), np.asarray(fresh[0]),
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(held[1]), np.asarray(fresh[1]),
+                               rtol=5e-3, atol=5e-2)

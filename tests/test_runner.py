@@ -115,3 +115,17 @@ def test_record_output_bag(tmp_path, seq):
     R = np.asarray(se3.quat_to_matrix(jnp.asarray([q[3], q[0], q[1], q[2]])))
     rpy = np.asarray(se3.matrix_to_rpy(jnp.asarray(R)))
     assert np.allclose(rpy, runner.trajectory[-1][:3], atol=1e-5)
+
+
+def test_close_autosaves_when_save_pcd(tmp_path, seq):
+    """savePCD parity: Runner.close() exports the global map at shutdown."""
+    from dataclasses import replace
+    from lio_slam_tpu.config import OutputConfig
+
+    cfg = small_cfg(output=OutputConfig(save_pcd=True,
+                                        save_directory=str(tmp_path / "auto")))
+    with Runner(cfg, loop_every=100) as runner:
+        for i in range(3):
+            runner.process_scan(scan_at(seq, i))
+    import os
+    assert os.path.exists(str(tmp_path / "auto" / "GlobalMap.pcd"))
