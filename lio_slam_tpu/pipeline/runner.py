@@ -32,6 +32,7 @@ from lio_slam_tpu.pipeline import lio
 from lio_slam_tpu.pipeline import loop_closure
 from lio_slam_tpu.pipeline import outputs
 from lio_slam_tpu.utils import pointcloud as pc
+from lio_slam_tpu.utils import profiling
 from lio_slam_tpu.utils import se3
 
 
@@ -73,6 +74,11 @@ class Runner:
         self.mapping_error = False
         self._last_processed_stamp = -1e18
         self._ext_R = np.asarray(self.cfg.imu.ext_rot, np.float32).reshape(3, 3)
+        # observability (SURVEY.md §5: per-stage timers are first-class):
+        # the mapping handler's commented chrono timers + `rostopic hz`
+        self.timer = profiling.StageTimer()
+        self.scan_rate = profiling.RateMonitor(expected_hz=1.0 /
+                                               max(cfg.mapping_process_interval, 0.1))
 
     # -- sensor feeds -----------------------------------------------------
 
@@ -119,9 +125,11 @@ class Runner:
         if (scan.stamp - self._last_processed_stamp) < cfg.mapping_process_interval:
             return None
         self._last_processed_stamp = scan.stamp
+        self.scan_rate.tick(scan.stamp)
         acc, gyr, dts, imask, have_imu = self._prep_imu_window(imu)
 
-        xyz = self._deskew(scan, gyr, dts, imask, have_imu)
+        with self.timer.stage("deskew"):
+            xyz = self._deskew(scan, gyr, dts, imask, have_imu)
         cap = cfg.static.max_raw_points
         cloud = pc.pad_cloud(xyz[:cap], cap)
         cloud = pc.filter_points(cloud, cfg.lidar.lidar_min_range,
@@ -165,25 +173,30 @@ class Runner:
             init_guess=jnp.asarray(guess), guess_valid=jnp.asarray(gvalid),
             imu_rpy=imu_rpy, imu_available=jnp.asarray(have_imu),
             gps_pos=gps_pos, gps_info=gps_info, gps_valid=jnp.asarray(gps_valid))
-        self.state, out = self.step(self.state, inp)
-        pose = np.asarray(out.pose)
+        with self.timer.stage("mapping_step"):
+            self.state, out = self.step(self.state, inp)
+            pose = np.asarray(out.pose)
         self.trajectory.append(pose)
 
         # IMU front-end correction with the mapping result
         if have_imu:
-            self.imu_state = self.correct(self.imu_state, acc, gyr, dts, imask,
-                                          jnp.asarray(pose), out.degenerate)
+            with self.timer.stage("imu_frontend"):
+                self.imu_state = self.correct(self.imu_state, acc, gyr, dts,
+                                              imask, jnp.asarray(pose),
+                                              out.degenerate)
             self.mapping_error = bool(self.imu_state.failure)
 
         # full-graph correction if the last keyframe consumed loop factors
         if bool(self.state.needs_full_solve):
-            self.state = self.full_correct(self.state)
+            with self.timer.stage("full_correction"):
+                self.state = self.full_correct(self.state)
 
         # loop-closure cadence (the reference's 0.2-1 Hz thread)
         self.scan_count += 1
         if (self.cfg.loop.enabled and
                 self.scan_count % self.loop_every == 0):
-            self.state = self.detector(self.state)
+            with self.timer.stage("loop_closure"):
+                self.state = self.detector(self.state)
 
         result = ScanResult(
             pose=pose, incremental=np.asarray(out.incremental),
@@ -327,6 +340,9 @@ def _run_synthetic(args):
     if args.record_bag:
         summary["recorded_bag"] = args.record_bag
     print(json.dumps(summary))
+    if args.report_timing:
+        import sys as _sys
+        print(runner.timer.report(), file=_sys.stderr)
 
 
 def _run_bag(args):
@@ -363,6 +379,9 @@ def _run_bag(args):
     if args.record_bag:
         summary["recorded_bag"] = args.record_bag
     print(json.dumps(summary))
+    if args.report_timing:
+        import sys as _sys
+        print(runner.timer.report(), file=_sys.stderr)
 
 
 def main():
@@ -384,6 +403,8 @@ def main():
     ap.add_argument("--record-bag", default=None,
                     help="write odometry/gpsdata outputs to a .bag "
                          "(reference saveBagFlag)")
+    ap.add_argument("--report-timing", action="store_true",
+                    help="print the per-stage timing report at the end")
     args = ap.parse_args()
     if args.bag:
         _run_bag(args)

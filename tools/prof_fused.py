@@ -3,6 +3,8 @@
 Same harness discipline as prof_stage.py: REPS iterations inside one jit via
 fori_loop with data-dependency threading (single dispatches disappear into
 the ~26 ms tunnel round-trip)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import numpy as np
 import jax

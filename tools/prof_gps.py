@@ -1,4 +1,6 @@
 """TPU timing: GPS-gate marginal covariance + fused-kernel tile sweep."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import numpy as np
 import jax

@@ -4,6 +4,8 @@ Single-dispatch timing is useless here (the axon tunnel has a ~26 ms
 round-trip floor), so each stage is iterated REPS times inside one jit
 via lax.fori_loop with data dependency threading to prevent DCE/CSE.
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import numpy as np
 import jax

@@ -2,6 +2,8 @@
 
 Where do the ~5.4 ms/scan go?  Times each lio_step sub-stage in isolation
 (fori_loop REPS inside one jit, data-dependency threaded)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import numpy as np
 import jax

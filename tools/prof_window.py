@@ -1,4 +1,6 @@
 """TPU timing: window-solve internals — where do the 2.3 ms go?"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import numpy as np
 import jax
