@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from lio_slam_tpu.config import RegistrationConfig
 from lio_slam_tpu.ops import knn as knn_mod
+from lio_slam_tpu.ops import voxel_grid as vg
 from lio_slam_tpu.utils import se3
 from lio_slam_tpu.utils import smallmat
 
@@ -132,6 +133,96 @@ def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
     return normal, offset, valid
 
 
+def _largest_eigpair_3x3(A: jax.Array):
+    """Closed-form largest (eigenvalue, eigenvector) + middle eigenvalue of
+    batched symmetric 3x3 matrices (same Smith method as
+    `_smallest_eigpair_3x3`, principal direction instead)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20) / 6.0)
+    inv_p = 1.0 / p
+    detB = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02)) * inv_p * inv_p * inv_p
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_max - lam_min
+    m = A - lam_max[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.stack([n01, n02, n12], axis=-1)
+    pick = jnp.argmax(best, axis=-1)
+    cands = jnp.stack([c01, c02, c12], axis=-2)
+    v = jnp.take_along_axis(cands, pick[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.maximum(norm, 1e-12)
+    iso = p2 < 1e-12
+    v = jnp.where(iso[..., None], jnp.array([0.0, 0.0, 1.0], A.dtype), v)
+    return lam_max, lam_mid, v
+
+
+def fit_lines(neighbors: jax.Array, neighbor_valid: jax.Array,
+              line_ratio: float = 3.0):
+    """Edge-line fit through k neighbours: centroid + principal covariance
+    direction, valid when the spread is genuinely 1D (lam_max > 3*lam_mid —
+    upstream LOAM's cornerOptimization criterion; the liorf fork dropped the
+    corner path, SURVEY.md §2.1 #4, but ships its feature extractor,
+    `src/liorf/src/featureExtraction.cpp:141-237`).
+
+    neighbors: (N, k, 3); returns (centroid (N,3), direction (N,3), valid (N,)).
+    """
+    k = neighbors.shape[1]
+    centroid = jnp.mean(neighbors, axis=1, keepdims=True)
+    centered = neighbors - centroid
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    lam_max, lam_mid, direction = _largest_eigpair_3x3(cov)
+    all_neighbors = jnp.all(neighbor_valid, axis=1)
+    valid = (lam_max > line_ratio * jnp.maximum(lam_mid, 1e-9)) & all_neighbors
+    return centroid[:, 0, :], direction, valid
+
+
+def find_line_correspondences(scan: jax.Array, scan_mask: jax.Array,
+                              map_pts: jax.Array, map_mask: jax.Array,
+                              pose6: jax.Array, cfg: RegistrationConfig,
+                              k: int = 5) -> Correspondences:
+    """One cornerOptimization pass (upstream LOAM point-to-line): 5-NN among
+    map edge points, principal-direction line fit, residual = distance to the
+    line, gradient direction doubles as the Jacobian 'normal' so
+    `_normal_equations` applies unchanged.
+
+    Corner sets are small (<=20 edges/ring-sector, featureExtraction.cpp:141-
+    237), so the exact brute-force MXU k-NN is the right backend here."""
+    R, t = se3.pose6_to_Rt(pose6)
+    scan_w = se3.transform_points(R, t, scan)
+    res = knn_mod.knn(scan_w, scan_mask, map_pts, map_mask, k=k)
+    neighbors = map_pts[res.idx]                        # (N, k, 3)
+    nn_ok = res.valid[:, k - 1] & (res.dist2[:, k - 1] < cfg.nn_radius ** 2)
+    center, direction, line_ok = fit_lines(neighbors, res.valid)
+    rel = scan_w - center
+    along = jnp.einsum("ni,ni->n", rel, direction)
+    perp = rel - along[:, None] * direction             # residual vector
+    ld2 = jnp.linalg.norm(perp, axis=-1)
+    n = perp / jnp.maximum(ld2, 1e-9)[:, None]          # d(ld2)/d(p_w)
+    s = 1.0 - 0.9 * jnp.abs(ld2)                        # LOAM corner weight
+    valid = scan_mask & nn_ok & line_ok & (s > cfg.robust_weight_floor)
+    return Correspondences(normal=n,
+                           offset=-jnp.einsum("ni,ni->n", n, center),
+                           residual=ld2,
+                           weight=jnp.where(valid, s, 0.0), valid=valid)
+
+
 def find_correspondences(scan: jax.Array, scan_mask: jax.Array,
                          map_pts: jax.Array, map_mask: jax.Array,
                          pose6: jax.Array, cfg: RegistrationConfig,
@@ -144,7 +235,6 @@ def find_correspondences(scan: jax.Array, scan_mask: jax.Array,
     R, t = se3.pose6_to_Rt(pose6)
     scan_w = se3.transform_points(R, t, scan)           # pointAssociateToMap
     if grid is not None:
-        from lio_slam_tpu.ops import voxel_grid as vg
         nn = vg.query_knn(grid, scan_w, scan_mask, k=k,
                           halo=cfg.grid_halo)
         neighbors = nn.neighbors                         # (N, k, 3) coords
@@ -344,7 +434,6 @@ def register(scan: jax.Array, scan_mask: jax.Array,
     map_pts = map_pts.astype(jnp.float32)
 
     if cfg.knn_backend == "grid":
-        from lio_slam_tpu.ops import voxel_grid as vg
         # cell size = nn_radius so the 27-cell neighbourhood covers the gate
         grid = vg.build_grid(map_pts, map_mask, cfg.nn_radius,
                              cfg.grid_table_size, cfg.grid_max_per_cell,
@@ -362,6 +451,71 @@ def register(scan: jax.Array, scan_mask: jax.Array,
     return _gn_loop(scan, scan_mask, corr_fn, init_pose6, cfg, runnable,
                     min_correspondences, ne_fn=_maybe_fused(scan, scan_mask,
                                                             grid, cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
+def register_loam(scan_surf: jax.Array, surf_mask: jax.Array,
+                  map_surf: jax.Array, map_surf_mask: jax.Array,
+                  scan_corner: jax.Array, corner_mask: jax.Array,
+                  map_corner: jax.Array, map_corner_mask: jax.Array,
+                  init_pose6: jax.Array, cfg: RegistrationConfig,
+                  min_correspondences: int = 50) -> RegistrationResult:
+    """Full LOAM registration: point-to-plane (surf) + point-to-line (corner)
+    terms summed into one 6x6 GN system per iteration.
+
+    Exceeds the reference, which extracts features (featureExtraction.cpp)
+    but runs surf-only (SURVEY.md §2.1 #4 — mapOptimization subscribes to
+    `deskew/cloud_info`, not `feature/cloud_info`).  The corner term mirrors
+    upstream LOAM / LIO-SAM cornerOptimization semantics: line fit via
+    principal covariance direction, lam_max > 3*lam_mid validity, robust
+    weight s = 1 - 0.9*|ld2|."""
+    scan_surf = scan_surf.astype(jnp.float32)
+    map_surf = map_surf.astype(jnp.float32)
+    scan_corner = scan_corner.astype(jnp.float32)
+    map_corner = map_corner.astype(jnp.float32)
+
+    if cfg.knn_backend == "grid":
+        grid = vg.build_grid(map_surf, map_surf_mask, cfg.nn_radius,
+                             cfg.grid_table_size, cfg.grid_max_per_cell,
+                             halo=cfg.grid_halo)
+    else:
+        grid = None
+
+    fused = _maybe_fused(scan_surf, surf_mask, grid, cfg)
+    if isinstance(fused, tuple):
+        # candidate reuse applies to the dominant surf term only; rebuild a
+        # per-pose closure so the combined ne_fn below stays simple
+        gather_fn, from_cand_fn, _ = fused
+        surf_ne = lambda pose: from_cand_fn(*gather_fn(pose), pose)
+    else:
+        surf_ne = fused
+
+    def ne_fn(pose):
+        if surf_ne is not None:
+            AtA_s, Atb_s, n_s, ws_s, wr_s = surf_ne(pose)
+        else:
+            corr_s = find_correspondences(scan_surf, surf_mask, map_surf,
+                                          map_surf_mask, pose, cfg, grid=grid)
+            AtA_s, Atb_s = _normal_equations(scan_surf, corr_s, pose)
+            n_s = jnp.sum(corr_s.valid.astype(jnp.int32))
+            ws_s = jnp.sum(corr_s.weight)
+            wr_s = jnp.sum(corr_s.weight * jnp.abs(corr_s.residual))
+        corr_c = find_line_correspondences(scan_corner, corner_mask,
+                                           map_corner, map_corner_mask,
+                                           pose, cfg)
+        AtA_c, Atb_c = _normal_equations(scan_corner, corr_c, pose)
+        return (AtA_s + AtA_c, Atb_s + Atb_c,
+                n_s + jnp.sum(corr_c.valid.astype(jnp.int32)),
+                ws_s + jnp.sum(corr_c.weight),
+                wr_s + jnp.sum(corr_c.weight * jnp.abs(corr_c.residual)))
+
+    n_scan = (jnp.sum(surf_mask.astype(jnp.int32))
+              + jnp.sum(corner_mask.astype(jnp.int32)))
+    n_map = (jnp.sum(map_surf_mask.astype(jnp.int32))
+             + jnp.sum(map_corner_mask.astype(jnp.int32)))
+    runnable = (n_scan > 30) & (n_map > 50)
+    return _gn_loop(scan_surf, surf_mask, None, init_pose6, cfg, runnable,
+                    min_correspondences, ne_fn=ne_fn)
 
 
 @partial(jax.jit, static_argnames=("cfg", "min_correspondences"))

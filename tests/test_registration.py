@@ -134,3 +134,94 @@ def test_transform_update_z_tolerance():
     out = reg.transform_update(pose, jnp.zeros(3), jnp.array(False), 0.01,
                                z_tolerance=10.0)
     np.testing.assert_allclose(out[5], 10.0)
+
+
+class TestCornerRegistration:
+    """Point-to-line (LOAM corner) term: fit_lines + register_loam."""
+
+    def _line_map(self, rs, n_lines=8, pts_per_line=40):
+        """Edge points along random 3D lines (a corner map)."""
+        pts = []
+        for _ in range(n_lines):
+            o = rs.uniform(-10, 10, 3)
+            d = rs.randn(3)
+            d /= np.linalg.norm(d)
+            t = np.linspace(-4, 4, pts_per_line)
+            pts.append(o + t[:, None] * d + rs.randn(pts_per_line, 3) * 0.01)
+        return np.concatenate(pts).astype(np.float32)
+
+    def test_fit_lines_recovers_direction(self):
+        rs = np.random.RandomState(0)
+        d = np.array([1.0, 2.0, -0.5])
+        d /= np.linalg.norm(d)
+        t = rs.uniform(-1, 1, (64, 5))
+        neighbors = t[..., None] * d + rs.randn(64, 5, 3) * 0.005
+        center, direction, valid = reg.fit_lines(
+            jnp.asarray(neighbors, jnp.float32), jnp.ones((64, 5), bool))
+        assert bool(valid.all())
+        dots = np.abs(np.asarray(direction) @ d)
+        np.testing.assert_allclose(dots, 1.0, atol=1e-2)
+
+    def test_fit_lines_rejects_planar(self):
+        # symmetric in-plane cross: lam_max == lam_mid exactly -> not a line
+        cross = np.array([[0, 0, 0], [1, 0, 0], [-1, 0, 0],
+                          [0, 1, 0], [0, -1, 0]], np.float32)
+        neighbors = np.tile(cross, (64, 1, 1))
+        _, _, valid = reg.fit_lines(jnp.asarray(neighbors),
+                                    jnp.ones((64, 5), bool))
+        assert not bool(np.asarray(valid).any())
+
+    def test_register_loam_converges(self):
+        rs = np.random.RandomState(2)
+        corner_map = self._line_map(rs)
+        # surf map: ground plane + wall
+        g = np.stack([rs.uniform(-15, 15, 2048), rs.uniform(-15, 15, 2048),
+                      rs.randn(2048) * 0.01], 1)
+        w = np.stack([np.full(2048, 9.0) + rs.randn(2048) * 0.01,
+                      rs.uniform(-15, 15, 2048), rs.uniform(0, 5, 2048)], 1)
+        surf_map = np.concatenate([g, w]).astype(np.float32)
+
+        true_pose = np.array([0.01, -0.02, 0.05, 0.3, -0.2, 0.1], np.float32)
+        R, t = se3.pose6_to_Rt(jnp.asarray(true_pose))
+        surf_scan = np.asarray((jnp.asarray(surf_map[::4]) - t) @ R)
+        corner_scan = np.asarray((jnp.asarray(corner_map[::2]) - t) @ R)
+
+        # the y direction is observable ONLY through the corner lines; the
+        # corner term's eigenvalue sits below the default 100 gate, so lower
+        # it like a corner-rich config would
+        cfg = RegistrationConfig(knn_backend="brute", max_iterations=20,
+                                 degeneracy_eig_thresh=10.0)
+        res = reg.register_loam(
+            jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+            jnp.asarray(surf_map), jnp.ones(len(surf_map), bool),
+            jnp.asarray(corner_scan), jnp.ones(len(corner_scan), bool),
+            jnp.asarray(corner_map), jnp.ones(len(corner_map), bool),
+            jnp.zeros(6, jnp.float32), cfg)
+        err = np.abs(np.asarray(res.pose) - true_pose)
+        # (formal 0.5 mm convergence can oscillate on 1 cm map noise —
+        # accuracy is the contract here)
+        assert err[:3].max() < 2e-3, err
+        assert err[3:].max() < 2e-2, err
+
+    def test_corner_term_constrains_plane_degeneracy(self):
+        """A single ground plane leaves x/y/yaw free; edge lines pin them."""
+        rs = np.random.RandomState(3)
+        g = np.stack([rs.uniform(-15, 15, 4096), rs.uniform(-15, 15, 4096),
+                      rs.randn(4096) * 0.005], 1).astype(np.float32)
+        corner_map = self._line_map(rs, n_lines=6)
+        # vertical-ish lines pin x/y
+        true_pose = np.array([0.0, 0.0, 0.02, 0.2, -0.15, 0.0], np.float32)
+        R, t = se3.pose6_to_Rt(jnp.asarray(true_pose))
+        surf_scan = np.asarray((jnp.asarray(g[::4]) - t) @ R)
+        corner_scan = np.asarray((jnp.asarray(corner_map[::2]) - t) @ R)
+
+        cfg = RegistrationConfig(knn_backend="brute", max_iterations=20,
+                                 degeneracy_eig_thresh=10.0)
+        res = reg.register_loam(
+            jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+            jnp.asarray(g), jnp.ones(len(g), bool),
+            jnp.asarray(corner_scan), jnp.ones(len(corner_scan), bool),
+            jnp.asarray(corner_map), jnp.ones(len(corner_map), bool),
+            jnp.zeros(6, jnp.float32), cfg)
+        err = np.abs(np.asarray(res.pose) - true_pose)
+        assert err[3:5].max() < 2e-2, err          # x/y recovered via lines
