@@ -57,12 +57,20 @@ def inpaint_nearest(hm: HeightMap, iterations: int = 4) -> jax.Array:
     e = jnp.where(jnp.isnan(hm.elevation), 0.0, hm.elevation)
     known = (~jnp.isnan(hm.elevation)).astype(jnp.float32)
 
+    H, W = e.shape
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    # validity of each rolled-in neighbour (jnp.roll wraps — the opposite map
+    # edge must not bleed into border cells)
+    inb = {(1, 0): row >= 1, (-1, 0): row < H - 1,
+           (1, 1): col >= 1, (-1, 1): col < W - 1}
+
     def body(_, carry):
         e, known = carry
-        ksum = (jnp.roll(known, 1, 0) + jnp.roll(known, -1, 0)
-                + jnp.roll(known, 1, 1) + jnp.roll(known, -1, 1))
-        esum = (jnp.roll(e * known, 1, 0) + jnp.roll(e * known, -1, 0)
-                + jnp.roll(e * known, 1, 1) + jnp.roll(e * known, -1, 1))
+        ksum = sum(jnp.roll(known, d, ax) * inb[(d, ax)]
+                   for d, ax in inb)
+        esum = sum(jnp.roll(e * known, d, ax) * inb[(d, ax)]
+                   for d, ax in inb)
         fill = jnp.where((known == 0) & (ksum > 0), esum / jnp.maximum(ksum, 1), e)
         new_known = jnp.where((known == 0) & (ksum > 0), 1.0, known)
         return fill, new_known
@@ -88,13 +96,25 @@ def normals_and_slope(hm: HeightMap):
     res = hm.resolution
     filled = jnp.where(jnp.isnan(e), 0.0, e)
     ok = ~jnp.isnan(e)
-    # one-sided at NaN neighbours: fall back to the centre value
-    ep = jnp.where(jnp.roll(ok, -1, 0), jnp.roll(filled, -1, 0), filled)
-    em = jnp.where(jnp.roll(ok, 1, 0), jnp.roll(filled, 1, 0), filled)
-    dzdx = (ep - em) / (2 * res)
-    ep = jnp.where(jnp.roll(ok, -1, 1), jnp.roll(filled, -1, 1), filled)
-    em = jnp.where(jnp.roll(ok, 1, 1), jnp.roll(filled, 1, 1), filled)
-    dzdy = (ep - em) / (2 * res)
+
+    def shifted(val, d, axis):
+        """roll + mark wrapped-in border cells invalid (jnp.roll alone would
+        read the OPPOSITE map edge as a neighbour, inventing huge border
+        slopes on vehicle-centered maps)."""
+        v = jnp.roll(val, d, axis)
+        o = jnp.roll(ok, d, axis)
+        idx = jnp.arange(val.shape[axis])
+        inb = (idx >= d) if d > 0 else (idx < val.shape[axis] + d)
+        inb = jnp.expand_dims(inb, 1 - axis)
+        return v, o & inb
+
+    # one-sided at NaN/border neighbours: fall back to the centre value
+    vp, op_ = shifted(filled, -1, 0)
+    vm, om = shifted(filled, 1, 0)
+    dzdx = (jnp.where(op_, vp, filled) - jnp.where(om, vm, filled)) / (2 * res)
+    vp, op_ = shifted(filled, -1, 1)
+    vm, om = shifted(filled, 1, 1)
+    dzdy = (jnp.where(op_, vp, filled) - jnp.where(om, vm, filled)) / (2 * res)
     n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(dzdx)], axis=-1)
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
     slope = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))

@@ -54,13 +54,13 @@ class RegistrationResult(NamedTuple):
     mean_residual: jax.Array  # () weighted mean |pd2| of last iteration
 
 
-def _smallest_eigpair_3x3(A: jax.Array):
-    """Closed-form smallest (eigenvalue, eigenvector) + middle eigenvalue of
-    batched symmetric 3x3 matrices (Smith's trigonometric method + row-cross
-    eigenvector).  XLA's batched `eigh` runs an iterative solver per matrix
-    (~29 ms for 8k on TPU v5e); this is pure element-wise VPU work (<1 ms).
+def _eigpair_3x3(A: jax.Array, which: str):
+    """Closed-form eigenpair of batched symmetric 3x3 matrices (Smith's
+    trigonometric method + row-cross eigenvector).  XLA's batched `eigh` runs
+    an iterative solver per matrix (~29 ms for 8k on TPU v5e); this is pure
+    element-wise VPU work (<1 ms).
 
-    Returns (lam_min (...), lam_mid (...), v_min (..., 3)).
+    which: "min" or "max" — returns (lam_which (...), lam_mid (...), v (..., 3)).
     """
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
@@ -79,9 +79,10 @@ def _smallest_eigpair_3x3(A: jax.Array):
     lam_max = q + 2.0 * p * jnp.cos(phi)
     lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     lam_mid = 3.0 * q - lam_max - lam_min
-    # eigenvector of lam_min: cross of two rows of (A - lam_min I); pick the
-    # most independent pair for stability
-    m = A - lam_min[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    lam = lam_min if which == "min" else lam_max
+    # eigenvector: cross of two rows of (A - lam I); pick the most
+    # independent pair for stability
+    m = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
     r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
     c01 = jnp.cross(r0, r1)
     c02 = jnp.cross(r0, r2)
@@ -100,7 +101,11 @@ def _smallest_eigpair_3x3(A: jax.Array):
     # gate on lam_mid, so just return a unit z
     iso = p2 < 1e-12
     v = jnp.where(iso[..., None], jnp.array([0.0, 0.0, 1.0], A.dtype), v)
-    return lam_min, lam_mid, v
+    return lam, lam_mid, v
+
+
+def _smallest_eigpair_3x3(A: jax.Array):
+    return _eigpair_3x3(A, "min")
 
 
 def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
@@ -134,43 +139,7 @@ def fit_planes(neighbors: jax.Array, neighbor_valid: jax.Array,
 
 
 def _largest_eigpair_3x3(A: jax.Array):
-    """Closed-form largest (eigenvalue, eigenvector) + middle eigenvalue of
-    batched symmetric 3x3 matrices (same Smith method as
-    `_smallest_eigpair_3x3`, principal direction instead)."""
-    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
-    p1 = a01 * a01 + a02 * a02 + a12 * a12
-    q = (a00 + a11 + a22) / 3.0
-    b00, b11, b22 = a00 - q, a11 - q, a22 - q
-    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2, 1e-20) / 6.0)
-    inv_p = 1.0 / p
-    detB = (b00 * (b11 * b22 - a12 * a12)
-            - a01 * (a01 * b22 - a12 * a02)
-            + a02 * (a01 * a12 - b11 * a02)) * inv_p * inv_p * inv_p
-    r = jnp.clip(detB / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    lam_max = q + 2.0 * p * jnp.cos(phi)
-    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    lam_mid = 3.0 * q - lam_max - lam_min
-    m = A - lam_max[..., None, None] * jnp.eye(3, dtype=A.dtype)
-    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
-    c01 = jnp.cross(r0, r1)
-    c02 = jnp.cross(r0, r2)
-    c12 = jnp.cross(r1, r2)
-    n01 = jnp.sum(c01 * c01, axis=-1)
-    n02 = jnp.sum(c02 * c02, axis=-1)
-    n12 = jnp.sum(c12 * c12, axis=-1)
-    best = jnp.stack([n01, n02, n12], axis=-1)
-    pick = jnp.argmax(best, axis=-1)
-    cands = jnp.stack([c01, c02, c12], axis=-2)
-    v = jnp.take_along_axis(cands, pick[..., None, None].repeat(3, -1),
-                            axis=-2)[..., 0, :]
-    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    v = v / jnp.maximum(norm, 1e-12)
-    iso = p2 < 1e-12
-    v = jnp.where(iso[..., None], jnp.array([0.0, 0.0, 1.0], A.dtype), v)
-    return lam_max, lam_mid, v
+    return _eigpair_3x3(A, "max")
 
 
 def fit_lines(neighbors: jax.Array, neighbor_valid: jax.Array,
@@ -297,7 +266,6 @@ def _maybe_fused(scan, scan_mask, grid, cfg: RegistrationConfig):
     if jax.default_backend() == "cpu":
         return None
     from lio_slam_tpu.ops import fused_corr
-    from lio_slam_tpu.utils import se3 as _se3
 
     if cfg.corr_refresh_every <= 1:
         def ne_fn(pose):
@@ -310,8 +278,8 @@ def _maybe_fused(scan, scan_mask, grid, cfg: RegistrationConfig):
         return ne_fn
 
     def gather_fn(pose):
-        Rm, t = _se3.pose6_to_Rt(pose)
-        scan_w = _se3.transform_points(Rm, t, scan)
+        Rm, t = se3.pose6_to_Rt(pose)
+        scan_w = se3.transform_points(Rm, t, scan)
         return fused_corr.gather_planar(grid, scan_w, cfg.grid_halo)
 
     def from_cand_fn(cand, hh, pose):
@@ -481,33 +449,41 @@ def register_loam(scan_surf: jax.Array, surf_mask: jax.Array,
     else:
         grid = None
 
-    fused = _maybe_fused(scan_surf, surf_mask, grid, cfg)
-    if isinstance(fused, tuple):
-        # candidate reuse applies to the dominant surf term only; rebuild a
-        # per-pose closure so the combined ne_fn below stays simple
-        gather_fn, from_cand_fn, _ = fused
-        surf_ne = lambda pose: from_cand_fn(*gather_fn(pose), pose)
-    else:
-        surf_ne = fused
-
-    def ne_fn(pose):
-        if surf_ne is not None:
-            AtA_s, Atb_s, n_s, ws_s, wr_s = surf_ne(pose)
-        else:
-            corr_s = find_correspondences(scan_surf, surf_mask, map_surf,
-                                          map_surf_mask, pose, cfg, grid=grid)
-            AtA_s, Atb_s = _normal_equations(scan_surf, corr_s, pose)
-            n_s = jnp.sum(corr_s.valid.astype(jnp.int32))
-            ws_s = jnp.sum(corr_s.weight)
-            wr_s = jnp.sum(corr_s.weight * jnp.abs(corr_s.residual))
+    def corner_term(pose):
         corr_c = find_line_correspondences(scan_corner, corner_mask,
                                            map_corner, map_corner_mask,
                                            pose, cfg)
         AtA_c, Atb_c = _normal_equations(scan_corner, corr_c, pose)
-        return (AtA_s + AtA_c, Atb_s + Atb_c,
-                n_s + jnp.sum(corr_c.valid.astype(jnp.int32)),
-                ws_s + jnp.sum(corr_c.weight),
-                wr_s + jnp.sum(corr_c.weight * jnp.abs(corr_c.residual)))
+        return (AtA_c, Atb_c, jnp.sum(corr_c.valid.astype(jnp.int32)),
+                jnp.sum(corr_c.weight),
+                jnp.sum(corr_c.weight * jnp.abs(corr_c.residual)))
+
+    def combine(surf_out, pose):
+        corner_out = corner_term(pose)
+        return tuple(a + b for a, b in zip(surf_out, corner_out))
+
+    fused = _maybe_fused(scan_surf, surf_mask, grid, cfg)
+    if isinstance(fused, tuple):
+        # candidate reuse (corr_refresh_every) applies to the surf term's
+        # HBM gather; the corner term re-evaluates every iteration (its
+        # brute k-NN is cheap at corner counts)
+        gather_fn, from_cand_fn, refresh = fused
+        ne_fn = (gather_fn,
+                 lambda cand, hh, pose: combine(from_cand_fn(cand, hh, pose),
+                                                pose),
+                 refresh)
+    elif fused is not None:
+        ne_fn = lambda pose: combine(fused(pose), pose)
+    else:
+        def surf_unfused(pose):
+            corr_s = find_correspondences(scan_surf, surf_mask, map_surf,
+                                          map_surf_mask, pose, cfg, grid=grid)
+            AtA_s, Atb_s = _normal_equations(scan_surf, corr_s, pose)
+            return (AtA_s, Atb_s, jnp.sum(corr_s.valid.astype(jnp.int32)),
+                    jnp.sum(corr_s.weight),
+                    jnp.sum(corr_s.weight * jnp.abs(corr_s.residual)))
+
+        ne_fn = lambda pose: combine(surf_unfused(pose), pose)
 
     n_scan = (jnp.sum(surf_mask.astype(jnp.int32))
               + jnp.sum(corner_mask.astype(jnp.int32)))

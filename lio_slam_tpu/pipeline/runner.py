@@ -77,8 +77,8 @@ class Runner:
         # observability (SURVEY.md §5: per-stage timers are first-class):
         # the mapping handler's commented chrono timers + `rostopic hz`
         self.timer = profiling.StageTimer()
-        self.scan_rate = profiling.RateMonitor(expected_hz=1.0 /
-                                               max(cfg.mapping_process_interval, 0.1))
+        self.scan_rate = profiling.RateMonitor(
+            expected_hz=1.0 / max(self.cfg.mapping_process_interval, 0.1))
 
     # -- sensor feeds -----------------------------------------------------
 
@@ -283,6 +283,12 @@ class Runner:
                                for i in range(last + 1)]
         return meta
 
+    def health(self) -> dict:
+        """`rostopic hz`-style health snapshot (README.md:308-322 discipline)."""
+        return {"scan_rate_hz": round(self.scan_rate.hz, 2),
+                "scan_rate_healthy": self.scan_rate.healthy,
+                "mapping_error": self.mapping_error}
+
     def fusion_output(self, stamp: float):
         pose = self.trajectory[-1] if self.trajectory else np.zeros(6)
         return gf.fusion_gps_output(pose.astype(np.float64), stamp,
@@ -343,6 +349,7 @@ def _run_synthetic(args):
     if args.report_timing:
         import sys as _sys
         print(runner.timer.report(), file=_sys.stderr)
+        print(f"health: {runner.health()}", file=_sys.stderr)
 
 
 def _run_bag(args):
@@ -382,6 +389,7 @@ def _run_bag(args):
     if args.report_timing:
         import sys as _sys
         print(runner.timer.report(), file=_sys.stderr)
+        print(f"health: {runner.health()}", file=_sys.stderr)
 
 
 def main():

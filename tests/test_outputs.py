@@ -187,3 +187,24 @@ class TestFilterLayers:
         d = np.asarray(hm.obstacle_sdf(h, reference_z=0.0, clearance=0.3))
         assert d[12, 12] < 0             # inside the obstacle
         assert d[0, 0] > 5 * 0.5 - 1e-3  # far away, meters scale = res
+
+    def test_normals_no_border_wrap(self):
+        # terrain that differs across opposite edges must not create border
+        # slopes (jnp.roll wrap-around regression)
+        h = self._plane_hm(gx=0.0)
+        e = np.zeros((32, 32), np.float32)
+        e[-1, :] = 10.0
+        h = h._replace(elevation=jnp.asarray(e))
+        _, slope = hm.normals_and_slope(h)
+        s = np.asarray(slope)
+        assert s[0, 5] < 1e-3        # first row must not see the 10 m last row
+        assert s[-2, 5] > 1.0        # the interior step IS steep
+
+    def test_inpaint_no_border_wrap(self):
+        h = self._plane_hm(gx=0.0)
+        e = np.full((32, 32), np.nan, np.float32)
+        e[-1, :] = 10.0              # only the far edge is known
+        h = h._replace(elevation=jnp.asarray(e))
+        filled = np.asarray(hm.inpaint_nearest(h, iterations=1))
+        assert np.isnan(filled[0, 5])   # row 0 must not be filled from row -1
+        assert filled[-2, 5] == 10.0

@@ -19,17 +19,19 @@ import sys
 import numpy as np
 
 
-def load_traj(path: str, bag_topic: str = "/liorf/mapping/odometry") -> np.ndarray:
+def load_traj(path: str, bag_topic: str = "/liorf/mapping/odometry"):
+    """Returns (poses (T,6), stamps (T,) or None)."""
     if path.endswith(".npz"):
         d = np.load(path)
-        return np.asarray(d["poses"], np.float64)
+        stamps = np.asarray(d["stamps"], np.float64) if "stamps" in d else None
+        return np.asarray(d["poses"], np.float64), stamps
     if path.endswith(".bag"):
         # recorded odometry bag (Runner --record-bag, or the reference's
         # `rosbag record /liorf/mapping/odometry` workflow, README.md:173-198)
         import os
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from lio_slam_tpu.io import rosbag as rb
-        poses = []
+        poses, stamps = [], []
         for m in rb.BagReader(path).read_messages([bag_topic]):
             od = rb.decode_odometry(m.raw)
             q = od.orientation  # x y z w
@@ -39,15 +41,35 @@ def load_traj(path: str, bag_topic: str = "/liorf/mapping/odometry") -> np.ndarr
             pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1, 1))
             yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
             poses.append([roll, pitch, yaw, *od.position])
+            stamps.append(od.stamp)
         if not poses:
             raise SystemExit(f"no {bag_topic} messages in {path}")
-        return np.asarray(poses, np.float64)
+        return np.asarray(poses, np.float64), np.asarray(stamps, np.float64)
     data = np.loadtxt(path, delimiter=",", ndmin=2)
     if data.shape[1] >= 6:
-        return data[:, :6]
+        return data[:, :6], None
     out = np.zeros((data.shape[0], 6))
     out[:, 3:3 + data.shape[1]] = data
-    return out
+    return out, None
+
+
+def align_by_stamp(est, est_st, truth, truth_st):
+    """Pair each estimate with the nearest-stamp truth pose — a throttled or
+    keyframe-gated run records fewer poses than the truth sequence, so
+    index-pairing would compare different times (the reference's eval scripts
+    have the same pitfall; ATE would silently drift one index per drop)."""
+    if est_st is None or truth_st is None:
+        n = min(len(est), len(truth))
+        if len(est) != len(truth):
+            print(f"warning: length mismatch ({len(est)} vs {len(truth)}) "
+                  "and no stamps to align by — pairing by index",
+                  file=sys.stderr)
+        return est[:n], truth[:n]
+    j = np.searchsorted(truth_st, est_st)
+    j = np.clip(j, 1, len(truth_st) - 1)
+    left = np.abs(truth_st[j - 1] - est_st) <= np.abs(truth_st[j] - est_st)
+    j = np.where(left, j - 1, j)
+    return est, truth[j]
 
 
 def align_umeyama(est: np.ndarray, truth: np.ndarray):
@@ -92,10 +114,10 @@ def main():
                     help="odometry topic when an input is a .bag")
     args = ap.parse_args()
 
-    est = load_traj(args.est, args.bag_topic)
-    truth = load_traj(args.truth, args.bag_topic)
-    n = min(len(est), len(truth))
-    est, truth = est[:n], truth[:n]
+    est, est_st = load_traj(args.est, args.bag_topic)
+    truth, truth_st = load_traj(args.truth, args.bag_topic)
+    est, truth = align_by_stamp(est, est_st, truth, truth_st)
+    n = len(est)
 
     result = {
         "frames": n,
