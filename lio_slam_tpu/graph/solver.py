@@ -13,6 +13,17 @@ poseCovariance(3,3)/(4,4), :2128-2133).
 The solver is generic over which poses are free: `active_mask` selects the
 sliding window (cheap per-scan solve) or the full graph (loop correction =
 `correctPoses`, :2173-2204).
+
+On Schur complements: classic visual/landmark BA reduces out landmark blocks
+via the Schur complement before solving the camera system.  This graph has
+no landmark variables — scan-to-map correspondences are folded into each
+pose's 6x6 normal-equation block inside registration (`ops/fused_corr.py`),
+which IS the Schur trick applied at the measurement level: points never
+become graph variables.  What remains is a pure pose chain + sparse
+loop/GPS factors, for which the equilibrated dense/window Cholesky is the
+right TPU shape.  The distributed solve (`parallel/graph.py`) reduces
+per-shard normal-equation blocks with psum — the Schur-style reduction over
+ICI described in SURVEY.md §2.4.
 """
 
 from __future__ import annotations

@@ -129,3 +129,17 @@ def test_close_autosaves_when_save_pcd(tmp_path, seq):
             runner.process_scan(scan_at(seq, i))
     import os
     assert os.path.exists(str(tmp_path / "auto" / "GlobalMap.pcd"))
+
+
+def test_no_recompilation_across_scans(seq):
+    """Static-shape discipline: varying live point counts must all pad into
+    the same compiled lio_step (recompiles would blow the 100 ms budget)."""
+    runner = Runner(small_cfg(), loop_every=100)
+    for i in range(6):
+        scan = scan_at(seq, i)
+        keep = max(50, len(scan.xyz) - i * 137)   # vary the live count
+        runner.process_scan(formats.StandardScan(
+            xyz=scan.xyz[:keep], intensity=scan.intensity[:keep],
+            ring=scan.ring[:keep], time=scan.time[:keep], stamp=scan.stamp))
+    # PjitFunction exposes its compiled-variant count
+    assert runner.step._cache_size() == 1, runner.step._cache_size()
