@@ -32,7 +32,11 @@ def bench_config() -> Config:
             max_keyframes=256, max_keyframe_points=8192,
             max_loop_queue=8, max_gps_queue=8, window_size=32),
         # corr_refresh_every=2: hold the gathered candidate superset for one
-        # extra GN iteration (in-kernel 5-NN still re-selects per iteration)
+        # extra GN iteration (in-kernel 5-NN still re-selects per iteration).
+        # halo stays "z": the "xy" layout's fused call is 31% faster in
+        # isolation (3 wide gather rows vs 9 narrow) but its 3x larger grid
+        # state carried through the scan loop loses end-to-end (230 vs 310
+        # scans/s measured) — see ops/voxel_grid.py for the trade-off table
         registration=RegistrationConfig(corr_refresh_every=2),
     )
 

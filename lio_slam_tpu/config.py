@@ -112,8 +112,9 @@ class RegistrationConfig:
     grid_max_per_cell: int = 24
     grid_table_size: int = 32768          # hash buckets (power of two)
     # halo bucket layout (ops/voxel_grid.py): "none" = insert once, query 27
-    # cells; "z" = insert under z+-1 too, query 9 cells; "full" = insert under
-    # all 27 neighbour cells, query exactly ONE contiguous bucket — the
+    # cells; "z" = insert under z+-1 too, query 9 cells; "xy" = insert under
+    # the xy 3x3, query 3 cells (z+-1) — fewest, widest gather rows; "full" =
+    # insert under all 27 neighbour cells, query exactly ONE contiguous bucket — the
     # layout the fused Pallas registration kernel consumes (gathers on TPU
     # are granularity-bound, so one wide row beats 9-27 narrow ones).
     # max_per_cell must scale with the layout: ~24 for "z", ~128 for "full"

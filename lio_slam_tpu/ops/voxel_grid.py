@@ -11,6 +11,9 @@ multiplicity vs gather width*:
 
 - halo="none": each point inserted once; a query scans the 27 surrounding
   cells (27 narrow gathers).
+- halo="xy": each point inserted under its 9 xy-neighbourhood cell keys; a
+  query scans only z±1 — 3 WIDE rows per query (TPU gathers are row-count
+  bound: 3 fetches of ~1 KB beat 9 of ~300 B); bucket cap must be ~3-4x "z"
 - halo="z": each point also inserted under its z±1 cell keys; a query scans
   the 9 xy-neighbour cells.
 - halo="full": each point inserted under all 27 neighbour cell keys; a query
@@ -87,8 +90,10 @@ _OFFSETS_XY9 = jnp.stack(jnp.meshgrid(
 _OFFSETS_1 = jnp.zeros((1, 3), jnp.int32)
 
 # insert multiplicity per layout / cells a query must scan per layout
-_INSERT_OFFSETS = {"none": _OFFSETS_1, "z": _OFFSETS_Z3, "full": _OFFSETS_27}
-_QUERY_OFFSETS = {"none": _OFFSETS_27, "z": _OFFSETS_XY9, "full": _OFFSETS_1}
+_INSERT_OFFSETS = {"none": _OFFSETS_1, "z": _OFFSETS_Z3, "xy": _OFFSETS_XY9,
+                   "full": _OFFSETS_27}
+_QUERY_OFFSETS = {"none": _OFFSETS_27, "z": _OFFSETS_XY9, "xy": _OFFSETS_Z3,
+                  "full": _OFFSETS_1}
 
 
 def _insert_core(table: jax.Array, counts: jax.Array, points: jax.Array,

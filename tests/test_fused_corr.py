@@ -31,7 +31,7 @@ def make_scene(seed=0, n_map=4096, n_scan=512):
     return map_pts, scan
 
 
-@pytest.mark.parametrize("halo,cap", [("z", 24), ("full", 64), ("none", 24)])
+@pytest.mark.parametrize("halo,cap", [("z", 24), ("xy", 72), ("full", 64), ("none", 24)])
 def test_fused_matches_reference(halo, cap):
     map_pts, scan = make_scene()
     N = scan.shape[0]

@@ -219,3 +219,25 @@ def test_gather_candidates_planar_layout():
     qn = np.asarray(q)
     d2 = (cx - qn[:, 0]) ** 2 + (cy - qn[:, 1]) ** 2 + (cz - qn[:, 2]) ** 2
     assert np.all(d2.min(axis=0) < 1e-8)
+
+
+def test_xyhalo_matches_bruteforce_within_radius():
+    """xy-halo layout (3-cell z query over xy-9 inserted buckets) covers the
+    same 27-cell neighbourhood — exact for in-radius neighbours."""
+    rs = np.random.RandomState(5)
+    ref = rs.randn(2000, 3).astype(np.float32) * 5
+    q = ref[rs.choice(2000, 300, replace=False)] + \
+        rs.randn(300, 3).astype(np.float32) * 0.1
+    refj, qj = jnp.asarray(ref), jnp.asarray(q)
+    rm, qm = jnp.ones(2000, bool), jnp.ones(300, bool)
+
+    grid = vg.build_grid(refj, rm, cell_size=1.0, table_size=4096,
+                         max_per_cell=160, halo="xy")
+    got = vg.query_knn(grid, qj, qm, k=5, halo="xy")
+    ref_res = knn_mod.knn(qj, qm, refj, rm, k=5)
+
+    in_radius = np.asarray(ref_res.dist2[:, 4]) < 1.0
+    gd = np.sort(np.asarray(got.dist2), axis=1)[in_radius]
+    bd = np.sort(np.asarray(ref_res.dist2), axis=1)[in_radius]
+    np.testing.assert_allclose(gd, bd, rtol=1e-3, atol=1e-4)
+    assert in_radius.sum() > 20
