@@ -60,7 +60,7 @@ class LidarConfig:
     n_scan: int = 16                  # N_SCAN rings
     horizon_scan: int = 1800          # Horizon_SCAN azimuth bins
     downsample_rate: int = 1          # keep every k-th ring (imageProjection downsampleRate)
-    point_filter_num: int = 3         # keep 1-in-k points (point_filter_num)
+    point_filter_num: int = 1         # keep 1-in-k points (lio_sam_default.yaml:30)
     lidar_min_range: float = 1.5      # meters (ref lidarMinRange)
     lidar_max_range: float = 1000.0
     # Self-crop box in sensor frame (imageProjection.cpp box filter)
@@ -256,7 +256,7 @@ def preset_6t() -> Config:
     return Config(
         lidar=LidarConfig(
             sensor=SensorType.VELODYNE, n_scan=80, horizon_scan=1800,
-            downsample_rate=1, point_filter_num=3,
+            downsample_rate=5, point_filter_num=3,   # 6t.yaml:51-52
             lidar_min_range=1.5, lidar_max_range=120.0,
         ),
         imu=ImuConfig(
@@ -273,7 +273,8 @@ def preset_kitti() -> Config:
     """config/lio_sam_kitti.yaml — HDL-64, no GPS factors."""
     return Config(
         lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=64,
-                          horizon_scan=1800, lidar_max_range=120.0),
+                          horizon_scan=1800, lidar_max_range=120.0,
+                          downsample_rate=2, point_filter_num=5),  # kitti.yaml:29-30
         imu=ImuConfig(imu_type=1, imu_rate=100.0),
     )
 
@@ -282,7 +283,8 @@ def preset_ouster() -> Config:
     """config/lio_sam_ouster.yaml — OS1-128."""
     return Config(
         lidar=LidarConfig(sensor=SensorType.OUSTER, n_scan=128,
-                          horizon_scan=1024, lidar_max_range=100.0),
+                          horizon_scan=1024, lidar_max_range=100.0,
+                          downsample_rate=2, point_filter_num=5),  # lio_sam_ouster.yaml:29-30
     )
 
 
@@ -290,7 +292,8 @@ def preset_livox() -> Config:
     """config/lio_sam_livox.yaml — Livox Horizon (6 'rings')."""
     return Config(
         lidar=LidarConfig(sensor=SensorType.LIVOX, n_scan=6,
-                          horizon_scan=4000, lidar_max_range=100.0),
+                          horizon_scan=4000, lidar_max_range=100.0,
+                          point_filter_num=3),       # lio_sam_livox.yaml:30
     )
 
 
@@ -298,7 +301,8 @@ def preset_mulran() -> Config:
     """config/mulran.yaml — OS1-64 with per-scan absolute timestamps."""
     return Config(
         lidar=LidarConfig(sensor=SensorType.MULRAN, n_scan=64,
-                          horizon_scan=1024, lidar_max_range=100.0),
+                          horizon_scan=1024, lidar_max_range=100.0,
+                          downsample_rate=2, point_filter_num=1),  # mulran.yaml:29-30
         imu=ImuConfig(imu_type=0, imu_rate=100.0),
     )
 
@@ -307,7 +311,8 @@ def preset_m2dgr() -> Config:
     """config/M2DGR.yaml — VLP-32."""
     return Config(
         lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=32,
-                          horizon_scan=1800, lidar_max_range=100.0),
+                          horizon_scan=1800, lidar_max_range=100.0,
+                          point_filter_num=5),       # M2DGR.yaml:30
     )
 
 
@@ -315,7 +320,8 @@ def preset_urban_hongkong() -> Config:
     """config/urban_hongkong.yaml — HDL-32."""
     return Config(
         lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=32,
-                          horizon_scan=1800, lidar_max_range=100.0),
+                          horizon_scan=1800, lidar_max_range=100.0,
+                          point_filter_num=5),       # ubran_hongkong.yaml:30
         gps=GpsConfig(use_gps=True),
     )
 

@@ -60,7 +60,7 @@ def make_loop_detector(cfg: Config):
         store = state.store
         K = store.poses.shape[0]
         cur = store.count - 1
-        runnable = (store.count > l.sc_exclude_recent) & (cur != state.last_loop_kf)
+        runnable = (store.count >= 2) & (cur != state.last_loop_kf)
 
         cur_pose = store.poses[jnp.maximum(cur, 0)]
         cur_stamp = store.stamps[jnp.maximum(cur, 0)]
@@ -115,23 +115,37 @@ def make_loop_detector(cfg: Config):
                                     state.pend_mask))
 
         def attempt(state):
-            # one verification per detector cycle on the preferred candidate
-            # (RS first like the reference's thread order; SC when RS found
-            # nothing) — a single shared `verify` instance keeps the compiled
-            # program half the size of separate RS/SC branches
-            use_rs = rs_found
-            cand = jnp.where(use_rs, rs_idx, jnp.maximum(match.index, 0))
+            # BOTH candidates are verified each detector cycle, like the
+            # reference's thread which runs performRSLoopClosure AND
+            # performSCLoopClosure every tick (mapOptmization.cpp:1062-1064)
+            # — an RS candidate that is in radius but fails fitness must not
+            # starve an SC loop.  One shared `verify` instance via lax.scan
+            # keeps the compiled program the size of a single branch.
             # SC gives yaw(query) - yaw(candidate); its pose hypothesis for
             # the current scan is the candidate pose yawed by that amount
             # (position from the candidate — SC carries no translation)
             yaw_fix = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0]) * match.yaw
             sc_init = se3.pose6_compose(store.poses[jnp.maximum(match.index, 0)],
                                         yaw_fix)
-            init = jnp.where(use_rs, cur_pose, sc_init)
-            ok, meas, info = verify(cand, init)
-            state = queue(state, ok, cand, meas, info)
-            return state._replace(
-                last_loop_kf=jnp.where(ok, cur, state.last_loop_kf))
+            sc_idx = jnp.maximum(match.index, 0)
+            founds = jnp.stack([rs_found,
+                                sc_found & (sc_idx != rs_idx)])
+            cands = jnp.stack([rs_idx, sc_idx])
+            inits = jnp.stack([cur_pose, sc_init])
+
+            def body(st, c):
+                found, cand, init = c
+
+                def go(st):
+                    ok, meas, info = verify(cand, init)
+                    st = queue(st, ok, cand, meas, info)
+                    return st._replace(
+                        last_loop_kf=jnp.where(ok, cur, st.last_loop_kf))
+
+                return jax.lax.cond(found, go, lambda s: s, st), None
+
+            state, _ = jax.lax.scan(body, state, (founds, cands, inits))
+            return state
 
         return jax.lax.cond(runnable & (rs_found | sc_found),
                             attempt, lambda st: st, state)

@@ -21,6 +21,7 @@ from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from lio_slam_tpu.config import Config, get_config
@@ -60,6 +61,7 @@ class Runner:
             from lio_slam_tpu.io.rosbag import BagWriter
             self._bag = BagWriter(record_bag)
         self.step = lio.make_lio_step(self.cfg)
+        self._prep = self._make_prep()
         self.full_correct = lio.make_full_correction(self.cfg)
         self.detector = loop_closure.make_loop_detector(self.cfg)
         self.correct, self.predict_rate, self.transform_fusion = \
@@ -73,7 +75,15 @@ class Runner:
         self.trajectory: list[np.ndarray] = []
         self.mapping_error = False
         self._last_processed_stamp = -1e18
+        # Mission-time origin: real bags carry epoch stamps (~1.7e9 s) whose
+        # float32 ulp is 128 s — every time gate downstream (loop-closure 30 s
+        # gap, recent-keyframe 10 s window) would quantize to garbage.  All
+        # internal time is rebased to seconds-since-first-message in float64
+        # on the host; only the rebased (small) values reach float32 devices.
+        # Outputs (bag records, fusion output) restore the epoch with `_t0`.
+        self._t0: Optional[float] = None
         self._ext_R = np.asarray(self.cfg.imu.ext_rot, np.float32).reshape(3, 3)
+        self._ext_RPY = np.asarray(self.cfg.imu.ext_rpy, np.float32).reshape(3, 3)
         # observability (SURVEY.md §5: per-stage timers are first-class):
         # the mapping handler's commented chrono timers + `rostopic hz`
         self.timer = profiling.StageTimer()
@@ -82,35 +92,67 @@ class Runner:
 
     # -- sensor feeds -----------------------------------------------------
 
-    def _prep_imu_window(self, imu: Optional[dict]):
+    def _prep_imu_window(self, imu: Optional[dict], scan_stamp: float = 0.0):
         """Pad an IMU window dict {acc (T,3), gyr (T,3), stamps (T,)} to the
         static window size, rotating into the lidar frame (imuConverter,
-        utility.h:333-366)."""
+        utility.h:333-366).  Returns (acc, gyr, dts, rel_times, mask, have):
+        `rel_times` are sample times relative to scan start (f64 host math,
+        small f32 on device) for the deskew rotation table."""
         W = self.cfg.static.max_imu_window
         if imu is None or len(imu.get("stamps", [])) == 0:
             return (jnp.zeros((W, 3)), jnp.zeros((W, 3)), jnp.zeros(W),
-                    jnp.zeros(W, bool), False)
+                    jnp.zeros(W), jnp.zeros(W, bool), False)
         acc = np.asarray(imu["acc"], np.float32) @ self._ext_R.T
         gyr = np.asarray(imu["gyr"], np.float32) @ self._ext_R.T
         stamps = np.asarray(imu["stamps"], np.float64)
         dt = np.diff(stamps, prepend=stamps[0] - 1.0 / self.cfg.imu.imu_rate)
+        rel = (stamps - scan_stamp).astype(np.float32)
         n = min(len(stamps), W)
         pad = lambda a, sh: np.concatenate(
             [a[:n], np.zeros((W - n,) + sh, a.dtype)])
         return (jnp.asarray(pad(acc, (3,))), jnp.asarray(pad(gyr, (3,))),
                 jnp.asarray(pad(dt.astype(np.float32), ())),
+                jnp.asarray(pad(rel, ())),
                 jnp.asarray(np.arange(W) < n), True)
 
-    def _deskew(self, scan: formats.StandardScan, gyr, dts, mask, have_imu):
-        if not have_imu:
-            return scan.xyz
-        times = jnp.cumsum(dts) - dts[0]
-        table = deskew_mod.build_rotation_table(gyr, times, mask)
-        n = scan.xyz.shape[0]
-        out = deskew_mod.deskew(jnp.asarray(scan.xyz),
-                                jnp.asarray(scan.time), jnp.ones(n, bool),
-                                table)
-        return np.asarray(out)
+    def _make_prep(self):
+        """One jitted program for the whole scan-prep stage: deskew + range/
+        crop filter + ring/point decimation over the padded raw cloud
+        (projectPointCloud, imageProjection.cpp:577-615).  Padding to
+        `max_raw_points` happens on the host BEFORE tracing so every scan
+        length hits the same compiled program."""
+        cfg = self.cfg
+        lid = cfg.lidar
+
+        @jax.jit
+        def prep(xyz, ptime, pmask, ring, gyr, rel_times, imask, have_imu):
+            table = deskew_mod.build_rotation_table(gyr, rel_times, imask)
+            desk = deskew_mod.deskew(xyz, ptime, pmask & have_imu, table)
+            cloud = pc.Cloud(xyz=desk, mask=pmask)
+            cloud = pc.filter_points(cloud, lid.lidar_min_range,
+                                     lid.lidar_max_range,
+                                     lid.crop_box_min, lid.crop_box_max)
+            if lid.point_filter_num > 1 or lid.downsample_rate > 1:
+                cloud = pc.decimate(cloud, lid.point_filter_num, ring=ring,
+                                    downsample_rate=lid.downsample_rate)
+            return cloud
+
+        return prep
+
+    def _pad_raw(self, scan: formats.StandardScan):
+        """Host-side fixed-shape padding of the raw scan arrays."""
+        N = self.cfg.static.max_raw_points
+        n = min(len(scan.xyz), N)
+        xyz = np.zeros((N, 3), np.float32)
+        xyz[:n] = np.asarray(scan.xyz[:n], np.float32)
+        t = np.zeros(N, np.float32)
+        if scan.time is not None and len(scan.time):
+            t[:n] = np.asarray(scan.time[:n], np.float32)
+        ring = np.zeros(N, np.int32)
+        if scan.ring is not None and len(scan.ring):
+            ring[:n] = np.asarray(scan.ring[:n], np.int32)
+        mask = np.arange(N) < n
+        return xyz, t, mask, ring
 
     # -- main per-scan entry ---------------------------------------------
 
@@ -122,23 +164,33 @@ class Runner:
         Returns None when the scan is dropped by the mappingProcessInterval
         throttle (laserCloudInfoHandler :452-456)."""
         cfg = self.cfg
-        if (scan.stamp - self._last_processed_stamp) < cfg.mapping_process_interval:
+        if self._t0 is None:
+            first = float(scan.stamp)
+            if imu is not None and len(imu.get("stamps", [])):
+                first = min(first, float(imu["stamps"][0]))
+            self._t0 = first
+        t = float(scan.stamp) - self._t0   # mission-relative seconds (f64)
+        if (t - self._last_processed_stamp) < cfg.mapping_process_interval:
             return None
-        self._last_processed_stamp = scan.stamp
-        self.scan_rate.tick(scan.stamp)
-        acc, gyr, dts, imask, have_imu = self._prep_imu_window(imu)
+        self._last_processed_stamp = t
+        self.scan_rate.tick(t)
+        acc, gyr, dts, rel_t, imask, have_imu = \
+            self._prep_imu_window(imu, scan_stamp=float(scan.stamp))
+        # two consumers of one window (the reference runs separate queues):
+        # deskew wants the full coverage incl. samples past the sweep end
+        # (imuDeskewInfo), the front-end integrates only up to the correction
+        # time = scan start (odometryHandler drains imuQueOpt to currentTime)
+        imask_corr = imask & (rel_t <= 1e-6)
 
         with self.timer.stage("deskew"):
-            xyz = self._deskew(scan, gyr, dts, imask, have_imu)
-        cap = cfg.static.max_raw_points
-        cloud = pc.pad_cloud(xyz[:cap], cap)
-        cloud = pc.filter_points(cloud, cfg.lidar.lidar_min_range,
-                                 cfg.lidar.lidar_max_range,
-                                 cfg.lidar.crop_box_min, cfg.lidar.crop_box_max)
+            xyz_p, t_p, mask_p, ring_p = self._pad_raw(scan)
+            cloud = self._prep(xyz_p, t_p, mask_p, ring_p, gyr, rel_t, imask,
+                               jnp.asarray(have_imu))
 
         # initial guess from the IMU front-end (odometry/imu_incremental role)
         if bool(self.imu_state.initialized) and have_imu:
-            rate_poses = self.predict_rate(self.imu_state, acc, gyr, dts, imask)
+            rate_poses = self.predict_rate(self.imu_state, acc, gyr, dts,
+                                           imask_corr)
             guess = rate_poses[-1]
             gvalid = True
         else:
@@ -154,22 +206,50 @@ class Runner:
         if gps_fix is not None and cfg.gps.use_gps:
             lat, lon, alt = gps_fix[:3]
             status = gps_fix[3] if len(gps_fix) > 3 else 0
-            self.fsm.on_gps(scan.stamp)
-            mode = self.fsm.step(scan.stamp, now=scan.stamp)
-            obs = self.gps_intake.on_fix(scan.stamp, lat, lon, alt, status,
+            gps_cov = (np.asarray(gps_fix[4], np.float64)
+                       if len(gps_fix) > 4 and gps_fix[4] is not None else None)
+            self.fsm.on_gps(t)
+            mode = self.fsm.step(t, now=t)
+            obs = self.gps_intake.on_fix(t, lat, lon, alt, status,
+                                         covariance=gps_cov,
                                          mode_normal=(mode == gf.MODE_NORMAL))
-            if obs is not None and obs.accurate:
+            # message-covariance gate (addGPSFactor :1984-1989: skip fixes
+            # whose x/y covariance exceeds gpsCovThreshold)
+            cov_ok = (obs is None or
+                      float(max(obs.covariance[0], obs.covariance[1]))
+                      <= cfg.gps.gps_cov_threshold)
+            if obs is not None and obs.accurate and cov_ok:
                 gps_pos = jnp.asarray(obs.enu.astype(np.float32))
                 gps_info = jnp.asarray((1.0 / np.maximum(obs.covariance, 1e-3))
                                        .astype(np.float32))
                 gps_valid = True
 
+        # 9-axis attitude init (imuDeskewInfo :381-385): prefer the measured
+        # orientation of the first IMU sample in the window, rotated by
+        # extQRPY (imuConverter, utility.h:352-356: q_final = q_from·extQRPY);
+        # fall back to the front-end's propagated attitude
         imu_rpy = jnp.zeros(3)
-        if have_imu and self.cfg.imu.imu_type == 1 and bool(self.imu_state.initialized):
-            imu_rpy = jnp.asarray(se3.matrix_to_rpy(self.imu_state.nav.R))
+        if have_imu and self.cfg.imu.imu_type == 1:
+            quat = None if imu is None else imu.get("quat")
+            if quat is not None and len(quat):
+                # sample bracketing scan start (imuDeskewInfo takes the last
+                # orientation before currentScanTime)
+                k = int(np.argmin(np.abs(
+                    np.asarray(imu["stamps"], np.float64) - float(scan.stamp))))
+                q = np.asarray(quat[k], np.float64)
+            else:
+                q = None
+            if q is not None and np.isfinite(q).all() \
+                    and abs(float(np.linalg.norm(q)) - 1.0) < 0.1:
+                qwxyz = np.array([q[3], q[0], q[1], q[2]])  # ros xyzw -> wxyz
+                R_meas = np.asarray(se3.quat_to_matrix(jnp.asarray(qwxyz)))
+                imu_rpy = jnp.asarray(se3.matrix_to_rpy(
+                    jnp.asarray(R_meas @ self._ext_RPY)))
+            elif bool(self.imu_state.initialized):
+                imu_rpy = jnp.asarray(se3.matrix_to_rpy(self.imu_state.nav.R))
 
         inp = lio.ScanInput(
-            cloud=cloud, stamp=jnp.float32(scan.stamp),
+            cloud=cloud, stamp=jnp.float32(t),
             init_guess=jnp.asarray(guess), guess_valid=jnp.asarray(gvalid),
             imu_rpy=imu_rpy, imu_available=jnp.asarray(have_imu),
             gps_pos=gps_pos, gps_info=gps_info, gps_valid=jnp.asarray(gps_valid))
@@ -182,7 +262,7 @@ class Runner:
         if have_imu:
             with self.timer.stage("imu_frontend"):
                 self.imu_state = self.correct(self.imu_state, acc, gyr, dts,
-                                              imask, jnp.asarray(pose),
+                                              imask_corr, jnp.asarray(pose),
                                               out.degenerate)
             self.mapping_error = bool(self.imu_state.failure)
 
@@ -268,8 +348,11 @@ class Runner:
 
     def save_checkpoint(self, path: str):
         from lio_slam_tpu.pipeline import checkpoint
-        checkpoint.save_checkpoint(path, self.state, self.imu_state,
-                                   metadata={"scan_count": self.scan_count})
+        checkpoint.save_checkpoint(
+            path, self.state, self.imu_state,
+            metadata={"scan_count": self.scan_count,
+                      "t0": self._t0 if self._t0 is not None else float("nan"),
+                      "last_stamp": self._last_processed_stamp})
 
     def load_checkpoint(self, path: str):
         from lio_slam_tpu.pipeline import checkpoint
@@ -277,6 +360,9 @@ class Runner:
         if imu_state is not None:
             self.imu_state = imu_state
         self.scan_count = int(meta.get("scan_count", 0))
+        t0 = float(meta.get("t0", float("nan")))
+        self._t0 = None if np.isnan(t0) else t0
+        self._last_processed_stamp = float(meta.get("last_stamp", -1e18))
         if int(self.state.store.count) > 0:
             last = int(self.state.store.count) - 1
             self.trajectory = [np.asarray(self.state.store.poses[i])

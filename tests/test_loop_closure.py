@@ -97,6 +97,68 @@ def test_loop_detected_and_consumed(loop_run):
     assert not bool(state.pend_mask.any())          # queue drained
 
 
+def test_sc_loop_not_starved_by_failing_rs(loop_run):
+    """Both candidates run each cycle (mapOptmization.cpp:1062-1064 runs
+    performRSLoopClosure AND performSCLoopClosure): an RS candidate that is
+    in radius but fails ICP verification must not prevent the SC loop from
+    closing in the same cycle."""
+    from lio_slam_tpu.ops import scancontext as sc_mod
+    from lio_slam_tpu.pipeline import keyframes as kf_mod
+
+    cfg = loop_config()
+    s = cfg.static
+    world = synthetic.make_world(seed=2, extent=30.0, n_per_surface=30000)
+    rs = np.random.RandomState(11)
+
+    cur_pose = np.zeros(6, np.float32)
+    cur_cloud, cur_mask = synthetic.observe(world, cur_pose, 2048, rng=rs)
+
+    state = lio.init_state(cfg)
+    P = s.max_keyframe_points
+
+    def add(state, pose, stamp, xyz, mask):
+        store = kf_mod.add_keyframe(
+            state.store, jnp.asarray(pose), jnp.float32(stamp),
+            pc.pad_cloud(xyz, P) if mask is None
+            else pc.Cloud(xyz=jnp.asarray(np.resize(xyz, (P, 3))),
+                          mask=jnp.asarray(np.resize(mask, P) & (np.arange(P) < len(mask)))))
+        desc = sc_mod.make_descriptor(
+            store.clouds[store.count - 1], store.cloud_masks[store.count - 1],
+            max_radius=cfg.loop.sc_max_radius,
+            lidar_height=cfg.loop.sc_lidar_height,
+            num_ring=s.sc_num_ring, num_sector=s.sc_num_sector)
+        return state._replace(store=store,
+                              sc_db=sc_mod.add_descriptor(state.sc_db, desc))
+
+    # kf0: junk cloud 3 m from current (RS candidate; verification must fail)
+    junk = rs.uniform(-25, 25, (2048, 3)).astype(np.float32)
+    state = add(state, np.array([0, 0, 0, 3.0, 0, 0], np.float32), 0.0,
+                junk, np.ones(2048, bool))
+    # kf1..kf4, kf6..kf8: far away, empty clouds
+    for i in [1, 2, 3, 4]:
+        state = add(state, np.array([0, 0, 0, 80.0 + i, 0, 0], np.float32),
+                    float(i), np.zeros((1, 3), np.float32),
+                    np.zeros(1, bool))
+    # kf5: the SC twin — same body cloud as current, 40 m away (outside RS radius)
+    state = add(state, np.array([0, 0, 0, 40.0, 0, 0], np.float32), 5.0,
+                cur_cloud[cur_mask], cur_mask[cur_mask])
+    for i in [6, 7, 8]:
+        state = add(state, np.array([0, 0, 0, 80.0 + i, 0, 0], np.float32),
+                    float(i), np.zeros((1, 3), np.float32),
+                    np.zeros(1, bool))
+    # kf9 = the current keyframe
+    state = add(state, cur_pose, 100.0, cur_cloud[cur_mask],
+                cur_mask[cur_mask])
+
+    detector = loop_closure.make_loop_detector(cfg)
+    state = detector(state)
+    pend_mask = np.asarray(state.pend_mask)
+    pend_j = np.asarray(state.pend_j)
+    assert pend_mask.sum() == 1, "exactly the SC loop must be queued"
+    assert pend_j[np.argmax(pend_mask)] == 5, \
+        "the SC candidate (kf5) must close despite the failing RS candidate"
+
+
 def test_poses_stay_consistent_after_loop(loop_run):
     cfg, state, out = loop_run
     n_kf = int(state.store.count)
