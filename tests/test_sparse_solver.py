@@ -1,0 +1,127 @@
+"""Sparse (block-tridiagonal + Woodbury) solver parity vs the dense solver.
+
+The dense `solver.solve` is the oracle; `sparse.solve_sparse` must reproduce
+it without ever materializing the (K·6)² system (VERDICT round-1 item 4 —
+iSAM2 stays O(active); our full correction must too)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lio_slam_tpu.graph import factors as F
+from lio_slam_tpu.graph import solver, sparse
+from lio_slam_tpu.utils import se3
+
+from tests.graph_fixtures import make_chain_fixture
+
+
+def add_loop(g, i, j, true_poses=None, info_scale=1e2):
+    """Queue a loop between keyframes i<-j at the first loop-region slot
+    (slots >= K-1, matching pipeline/lio.py's layout)."""
+    K = g.poses.shape[0]
+    slot = K - 1
+    while bool(g.bt_mask[slot]):
+        slot += 1
+    meas = se3.pose6_between(g.poses[i], g.poses[j]) if true_poses is None \
+        else se3.pose6_between(true_poses[i], true_poses[j])
+    return g._replace(
+        bt_i=g.bt_i.at[slot].set(i), bt_j=g.bt_j.at[slot].set(j),
+        bt_meas=g.bt_meas.at[slot].set(meas),
+        bt_info=g.bt_info.at[slot].set(jnp.full(6, info_scale)),
+        bt_mask=g.bt_mask.at[slot].set(True))
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return make_chain_fixture(n=24, K=32, B=64, G=16, seed=42)
+
+
+def test_sparse_matches_dense_chain(chain):
+    g, n = chain
+    dense = solver.solve(g, g.pose_mask, iterations=3)
+    sp = sparse.solve_sparse(g, iterations=3)
+    np.testing.assert_allclose(np.asarray(sp.graph.poses[:n]),
+                               np.asarray(dense.graph.poses[:n]),
+                               atol=2e-3)
+    assert np.isfinite(float(sp.chi2))
+
+
+def test_sparse_matches_dense_with_loops(chain):
+    g, n = chain
+    rs = np.random.RandomState(3)
+    # two loop closures with noisy-but-consistent measurements
+    g = add_loop(g, 2, 20)
+    g = add_loop(g, 5, 22)
+    dense = solver.solve(g, g.pose_mask, iterations=4)
+    sp = sparse.solve_sparse(g, iterations=4)
+    np.testing.assert_allclose(np.asarray(sp.graph.poses[:n]),
+                               np.asarray(dense.graph.poses[:n]),
+                               atol=5e-3)
+
+
+def test_sparse_reduces_chi2_with_disagreeing_loop(chain):
+    """A loop factor that disagrees with drifted poses must pull the
+    trajectory: chi2 decreases and the sparse result tracks the dense one."""
+    g, n = chain
+    # perturb the tail so the loop has something to correct
+    g = g._replace(poses=g.poses.at[20, 3].add(0.3))
+    g = add_loop(g, 2, 20)
+    sp = sparse.solve_sparse(g, iterations=5)
+    dense = solver.solve(g, g.pose_mask, iterations=5)
+    np.testing.assert_allclose(np.asarray(sp.graph.poses[:n]),
+                               np.asarray(dense.graph.poses[:n]), atol=5e-3)
+
+
+def test_marginal_covariance_matches_dense(chain):
+    g, n = chain
+    for idx in [0, 7, n - 1]:
+        cd = np.asarray(solver.marginal_covariance(g, jnp.int32(idx)))
+        cs = np.asarray(sparse.marginal_covariance_sparse(g, jnp.int32(idx)))
+        np.testing.assert_allclose(cs, cd, rtol=0.15, atol=1e-6)
+
+
+def test_marginal_covariance_with_loops(chain):
+    g, n = chain
+    g = add_loop(g, 2, 20)
+    cd = np.asarray(solver.marginal_covariance(g, jnp.int32(20)))
+    cs = np.asarray(sparse.marginal_covariance_sparse(g, jnp.int32(20)))
+    np.testing.assert_allclose(cs, cd, rtol=0.15, atol=1e-6)
+
+
+def test_sparse_scales_to_large_k():
+    """K=512 chain solves without NaN and without a (K·6)² allocation (the
+    dense path at this K would allocate 9.4 M-element H per linearization;
+    the sparse path's largest tensor is K·6·6L)."""
+    n, K = 400, 512
+    B = K - 1 + 16
+    rs = np.random.RandomState(0)
+    g = F.empty_graph(K, B, 8)
+    true = np.cumsum(np.concatenate(
+        [np.zeros((1, 6), np.float32),
+         np.tile(np.array([[0, 0, 0.01, 1.0, 0, 0]], np.float32), (n - 1, 1))]),
+        axis=0).astype(np.float32)
+    noisy = true + rs.randn(n, 6).astype(np.float32) * 0.02
+    g = g._replace(
+        poses=g.poses.at[:n].set(jnp.asarray(noisy)),
+        pose_mask=g.pose_mask.at[:n].set(True),
+        prior_pose=jnp.asarray(true[0]),
+        prior_info=F.info_from_variances([1e-4] * 6))
+    info = F.info_from_variances([1e-6] * 3 + [1e-4] * 3)
+    idx = np.arange(n - 1)
+    meas = np.stack([np.asarray(se3.pose6_between(jnp.asarray(true[i]),
+                                                  jnp.asarray(true[i + 1])))
+                     for i in idx])
+    g = g._replace(
+        bt_i=g.bt_i.at[idx].set(idx), bt_j=g.bt_j.at[idx].set(idx + 1),
+        bt_meas=g.bt_meas.at[idx].set(jnp.asarray(meas)),
+        bt_info=g.bt_info.at[idx].set(jnp.tile(info[None], (n - 1, 1))),
+        bt_mask=g.bt_mask.at[idx].set(True))
+    g = add_loop(g, 3, n - 5, true_poses=jnp.asarray(true))
+    sp = sparse.solve_sparse(g, iterations=3)
+    poses = np.asarray(sp.graph.poses[:n])
+    assert np.isfinite(poses).all()
+    # solution close to truth (the loop + chain are consistent)
+    err = np.abs(poses[:, 3:] - true[:n, 3:]).max()
+    assert err < 0.2, f"large-K sparse solve error {err:.3f}"
+    cov = np.asarray(sparse.marginal_covariance_sparse(g, jnp.int32(n - 1)))
+    assert np.isfinite(cov).all() and cov[3, 3] > 0
