@@ -50,6 +50,14 @@ class StaticConfig:
     sc_candidates: int = 3            # retrieval candidates (NUM_CANDIDATES_FROM_TREE)
     icp_submap_points: int = 32768    # loop-closure submap capacity
     window_size: int = 64             # sliding-window GN size for incremental solve
+    max_corner_points: int = 2048     # LOAM corner features per scan / keyframe
+    max_corner_map_points: int = 16384  # assembled corner local map capacity
+    # full-graph solver backend for loop corrections + marginal covariance:
+    # "dense" assembles the (K*6)^2 normal equations (fastest at small K;
+    # ~600 MB of H at K=2048), "sparse" is the block-tridiagonal + Woodbury
+    # factorization (graph/sparse.py; O(K) memory, iSAM2-like O(active)
+    # scaling), "auto" picks sparse once max_keyframes > 512
+    full_solver: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -149,6 +157,16 @@ class RegistrationConfig:
     scan_downsample: str = "packed"
     z_tolerance: float = 1000.0           # |z| clamp (transformUpdate :1890)
     rotation_tolerance: float = 1000.0    # |roll|,|pitch| clamp
+    # LOAM corner (point-to-line) term.  The reference LAUNCHES its feature
+    # extractor but runs surf-only (featureExtraction.cpp is broken in the
+    # fork — SURVEY.md §2.1 #4); we support both: surf-only (default, the
+    # behavior the reference actually runs) and surf+corner (upstream
+    # LIO-SAM/LOAM semantics) behind this flag.  Corners are an ADDITIONAL
+    # GN term on top of the full-cloud surf registration.
+    use_corner_features: bool = False
+    mapping_corner_leaf_size: float = 0.2  # corner voxel DS (mappingCornerLeafSize)
+    edge_threshold: float = 1.0           # curvature gate (edgeThreshold yaml)
+    surf_threshold: float = 0.1           # surf curvature gate (surfThreshold)
 
 
 @dataclass(frozen=True)

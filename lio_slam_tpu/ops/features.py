@@ -41,37 +41,55 @@ def extract_features(ranges: jax.Array, valid: jax.Array,
                      surf_threshold: float = 0.1,
                      num_sectors: int = 6,
                      max_edges_per_sector: int = 20) -> Features:
-    """ranges: (R, H) range image (0/garbage where ~valid)."""
-    R, H = ranges.shape
-    r = jnp.where(valid, ranges, 0.0)
+    """ranges: (R, H) range image (0/garbage where ~valid).
 
-    # curvature: sum over +-5 neighbours of (r_j - r_0)
+    Internally each ring is COMPACTED (valid pixels first, column order kept)
+    before the neighbourhood ops — the reference iterates the compacted
+    per-ring point vector, not raw columns (featureExtraction.cpp:81-101
+    indexes cloudSmoothness over consecutive points), so isolated azimuth
+    holes (quantization, dropouts) must not poison the ±5 windows.  Returned
+    masks are scattered back to the original (R, H) layout."""
+    R, H = ranges.shape
+    # per-ring compaction permutation: valid first, original column order kept
+    order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int32),
+                        axis=1, stable=True)                   # (R, H)
+    rows = jnp.arange(R)[:, None]
+    rC = ranges[rows, order]
+    vC = valid[rows, order]
+    colC = order                                               # original column
+    nv = jnp.sum(valid, axis=1)                                # (R,)
+    pos = jnp.arange(H)[None, :]
+    in_core = (pos >= 5) & (pos < nv[:, None] - 5) & vC
+
+    r = jnp.where(vC, rC, 0.0)
+    # curvature: sum over +-5 compacted neighbours of (r_j - r_0)  (:81-101)
     acc = -10.0 * r
     for j in list(range(-5, 0)) + list(range(1, 6)):
         acc = acc + jnp.roll(r, -j, axis=1)
     curv = acc * acc
-    nb_ok = valid
-    for j in list(range(-5, 0)) + list(range(1, 6)):
-        nb_ok = nb_ok & jnp.roll(valid, -j, axis=1)
 
-    # occlusion: big range jump between adjacent columns
+    # occlusion (:103-126): neighbouring points within 10 original columns
+    # with a range jump > 0.3 m mark the farther side's 5-6 points unusable
     r_next = jnp.roll(r, -1, axis=1)
-    jump = r_next - r
-    occl_self = (jump < -0.3)     # next is much closer: this side occluded
-    occl_next = (jump > 0.3)
-    occluded = jnp.zeros_like(valid)
+    near_cols = jnp.abs(jnp.roll(colC, -1, axis=1) - colC) < 10
+    jump = jnp.where(near_cols, r_next - r, 0.0)
+    occl_self = (jump < -0.3)     # next is much closer: i-5..i occluded
+    occl_next = (jump > 0.3)      # next is much farther: i+1..i+6 occluded
+    occluded = jnp.zeros_like(vC)
     for j in range(0, 6):
-        occluded = occluded | jnp.roll(occl_self, j, axis=1)   # mark i..i-5? see note
+        occluded = occluded | jnp.roll(occl_self, j, axis=1)
     for j in range(1, 7):
         occluded = occluded | jnp.roll(occl_next, j, axis=1)
-    # parallel beam: both neighbours differ by > 0.02 * range
+    # parallel beam (:128-139): both neighbours differ by > 0.02 * range
     d_prev = jnp.abs(jnp.roll(r, 1, axis=1) - r)
     d_next = jnp.abs(r_next - r)
     parallel = (d_prev > 0.02 * r) & (d_next > 0.02 * r)
 
-    usable = valid & nb_ok & ~occluded & ~parallel
+    usable = in_core & ~occluded & ~parallel
 
-    # per-ring sectors: pick top edges with spacing suppression
+    # per-ring sectors over the COMPACTED index (the reference splits each
+    # ring's point range into 6 equal index spans, :146-150): pick top edges
+    # with +-5 spacing suppression
     sector_w = H // num_sectors
     curv_use = jnp.where(usable, curv, -1.0)
 
@@ -83,7 +101,7 @@ def extract_features(ranges: jax.Array, valid: jax.Array,
         def body(carry, ci):
             taken_mask, n_taken = carry
             c, i = ci
-            # suppressed if within 5 columns of an already-taken index
+            # suppressed if within 5 points of an already-taken index
             near = jnp.any(jnp.abs(taken_mask - i) <= 5)
             ok = (c > edge_threshold) & ~near & (n_taken < max_edges_per_sector)
             taken_mask = jnp.where(ok, taken_mask.at[n_taken % k].set(i), taken_mask)
@@ -97,13 +115,21 @@ def extract_features(ranges: jax.Array, valid: jax.Array,
 
     sectors = curv_use[:, :sector_w * num_sectors].reshape(R * num_sectors, sector_w)
     edge_sec = jax.vmap(pick_sector)(sectors)
-    edge_mask = jnp.zeros((R, H), bool)
-    edge_mask = edge_mask.at[:, :sector_w * num_sectors].set(
+    edgeC = jnp.zeros((R, H), bool)
+    edgeC = edgeC.at[:, :sector_w * num_sectors].set(
         edge_sec.reshape(R, num_sectors * sector_w))
+    edgeC = edgeC & usable
+    surfC = usable & (curv < surf_threshold) & ~edgeC
 
-    surf_mask = usable & (curv < surf_threshold) & ~edge_mask
-    return Features(curvature=curv, edge_mask=edge_mask & usable,
-                    surf_mask=surf_mask, valid=usable)
+    # scatter compacted results back to original columns
+    def back(mC, fill=False):
+        out = jnp.full((R, H), fill, mC.dtype)
+        return out.at[rows, colC].max(jnp.where(vC, mC, fill))
+
+    curv_orig = jnp.zeros((R, H), curv.dtype).at[rows, colC].add(
+        jnp.where(vC, curv, 0.0))
+    return Features(curvature=curv_orig, edge_mask=back(edgeC),
+                    surf_mask=back(surfC), valid=back(usable))
 
 
 @partial(jax.jit, static_argnames=("n_scan", "horizon"))

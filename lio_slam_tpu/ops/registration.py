@@ -449,6 +449,27 @@ def register_loam(scan_surf: jax.Array, surf_mask: jax.Array,
     else:
         grid = None
 
+    ne_fn = _loam_combined_ne(scan_surf, surf_mask, grid,
+                              map_surf, map_surf_mask,
+                              scan_corner, corner_mask,
+                              map_corner, map_corner_mask, cfg)
+    n_scan = (jnp.sum(surf_mask.astype(jnp.int32))
+              + jnp.sum(corner_mask.astype(jnp.int32)))
+    n_map = (jnp.sum(map_surf_mask.astype(jnp.int32))
+             + jnp.sum(map_corner_mask.astype(jnp.int32)))
+    runnable = (n_scan > 30) & (n_map > 50)
+    return _gn_loop(scan_surf, surf_mask, None, init_pose6, cfg, runnable,
+                    min_correspondences, ne_fn=ne_fn)
+
+
+def _loam_combined_ne(scan_surf, surf_mask, grid, map_surf, map_surf_mask,
+                      scan_corner, corner_mask, map_corner, map_corner_mask,
+                      cfg: RegistrationConfig):
+    """Build the ne_fn summing the surf (point-to-plane) and corner
+    (point-to-line) terms into one 6x6 GN system per iteration — shared by
+    `register_loam` (rebuild-mode map arrays) and `register_loam_with_grid`
+    (persistent incremental grid)."""
+
     def corner_term(pose):
         corr_c = find_line_correspondences(scan_corner, corner_mask,
                                            map_corner, map_corner_mask,
@@ -468,27 +489,45 @@ def register_loam(scan_surf: jax.Array, surf_mask: jax.Array,
         # HBM gather; the corner term re-evaluates every iteration (its
         # brute k-NN is cheap at corner counts)
         gather_fn, from_cand_fn, refresh = fused
-        ne_fn = (gather_fn,
-                 lambda cand, hh, pose: combine(from_cand_fn(cand, hh, pose),
-                                                pose),
-                 refresh)
-    elif fused is not None:
-        ne_fn = lambda pose: combine(fused(pose), pose)
-    else:
-        def surf_unfused(pose):
-            corr_s = find_correspondences(scan_surf, surf_mask, map_surf,
-                                          map_surf_mask, pose, cfg, grid=grid)
-            AtA_s, Atb_s = _normal_equations(scan_surf, corr_s, pose)
-            return (AtA_s, Atb_s, jnp.sum(corr_s.valid.astype(jnp.int32)),
-                    jnp.sum(corr_s.weight),
-                    jnp.sum(corr_s.weight * jnp.abs(corr_s.residual)))
+        return (gather_fn,
+                lambda cand, hh, pose: combine(from_cand_fn(cand, hh, pose),
+                                               pose),
+                refresh)
+    if fused is not None:
+        return lambda pose: combine(fused(pose), pose)
 
-        ne_fn = lambda pose: combine(surf_unfused(pose), pose)
+    def surf_unfused(pose):
+        corr_s = find_correspondences(scan_surf, surf_mask, map_surf,
+                                      map_surf_mask, pose, cfg, grid=grid)
+        AtA_s, Atb_s = _normal_equations(scan_surf, corr_s, pose)
+        return (AtA_s, Atb_s, jnp.sum(corr_s.valid.astype(jnp.int32)),
+                jnp.sum(corr_s.weight),
+                jnp.sum(corr_s.weight * jnp.abs(corr_s.residual)))
 
+    return lambda pose: combine(surf_unfused(pose), pose)
+
+
+@partial(jax.jit, static_argnames=("cfg", "min_correspondences"))
+def register_loam_with_grid(scan_surf: jax.Array, surf_mask: jax.Array,
+                            grid,
+                            scan_corner: jax.Array, corner_mask: jax.Array,
+                            map_corner: jax.Array, map_corner_mask: jax.Array,
+                            init_pose6: jax.Array, cfg: RegistrationConfig,
+                            min_correspondences: int = 50) -> RegistrationResult:
+    """LOAM surf+corner registration against the persistent incremental surf
+    voxel map (the production path) + a flat corner map cloud.  Corner maps
+    stay flat (no grid): corner counts are small enough that the exact brute
+    MXU k-NN wins over a second hash grid's build cost per scan."""
+    scan_surf = scan_surf.astype(jnp.float32)
+    scan_corner = scan_corner.astype(jnp.float32)
+    map_corner = map_corner.astype(jnp.float32)
+
+    ne_fn = _loam_combined_ne(scan_surf, surf_mask, grid, None, None,
+                              scan_corner, corner_mask,
+                              map_corner, map_corner_mask, cfg)
     n_scan = (jnp.sum(surf_mask.astype(jnp.int32))
               + jnp.sum(corner_mask.astype(jnp.int32)))
-    n_map = (jnp.sum(map_surf_mask.astype(jnp.int32))
-             + jnp.sum(map_corner_mask.astype(jnp.int32)))
+    n_map = jnp.sum(grid.counts)
     runnable = (n_scan > 30) & (n_map > 50)
     return _gn_loop(scan_surf, surf_mask, None, init_pose6, cfg, runnable,
                     min_correspondences, ne_fn=ne_fn)

@@ -32,16 +32,26 @@ class KeyframeStore(NamedTuple):
     clouds: jax.Array      # (K, P, 3) downsampled clouds in body frame
     cloud_masks: jax.Array # (K, P) bool
     count: jax.Array       # () int32 number of active keyframes
+    # LOAM corner features per keyframe (cornerCloudKeyFrames in upstream
+    # LIO-SAM; the liorf fork dropped them — SURVEY.md §2.1 #4).  Capacity 1
+    # when cfg.registration.use_corner_features is off (negligible memory,
+    # one code path).
+    corner_clouds: jax.Array  # (K, Pc, 3)
+    corner_masks: jax.Array   # (K, Pc) bool
 
 
-def empty_store(max_keyframes: int, points_per_kf: int) -> KeyframeStore:
+def empty_store(max_keyframes: int, points_per_kf: int,
+                corner_points_per_kf: int = 1) -> KeyframeStore:
     K, P = max_keyframes, points_per_kf
+    Pc = max(corner_points_per_kf, 1)
     return KeyframeStore(
         poses=jnp.zeros((K, 6), jnp.float32),
         stamps=jnp.zeros(K, jnp.float32),
         clouds=jnp.zeros((K, P, 3), jnp.float32),
         cloud_masks=jnp.zeros((K, P), bool),
         count=jnp.zeros((), jnp.int32),
+        corner_clouds=jnp.zeros((K, Pc, 3), jnp.float32),
+        corner_masks=jnp.zeros((K, Pc), bool),
     )
 
 
@@ -57,18 +67,54 @@ def should_add_keyframe(store: KeyframeStore, pose: jax.Array,
 
 
 def add_keyframe(store: KeyframeStore, pose: jax.Array, stamp: jax.Array,
-                 cloud: pc.Cloud) -> KeyframeStore:
+                 cloud: pc.Cloud, corner: pc.Cloud = None) -> KeyframeStore:
     """Append at slot `count` (capacity-saturating: when full, overwrite the
     last slot — callers should size K for the mission)."""
     i = jnp.minimum(store.count, store.poses.shape[0] - 1)
     P = store.clouds.shape[1]
-    return store._replace(
+    store = store._replace(
         poses=store.poses.at[i].set(pose),
         stamps=store.stamps.at[i].set(stamp),
         clouds=store.clouds.at[i].set(cloud.xyz[:P]),
         cloud_masks=store.cloud_masks.at[i].set(cloud.mask[:P]),
         count=jnp.minimum(store.count + 1, store.poses.shape[0]),
     )
+    if corner is not None:
+        Pc = store.corner_clouds.shape[1]
+        store = store._replace(
+            corner_clouds=store.corner_clouds.at[i].set(corner.xyz[:Pc]),
+            corner_masks=store.corner_masks.at[i].set(corner.mask[:Pc]))
+    return store
+
+
+def _select_nearby(store: KeyframeStore, position: jax.Array,
+                   now: jax.Array, radius: float, recent_sec: float,
+                   max_selected: int):
+    """extractNearby keyframe selection: within `radius` of `position` or in
+    the last `recent_sec` seconds; the `max_selected` nearest win."""
+    K = store.poses.shape[0]
+    kf_mask = jnp.arange(K) < store.count
+    d2 = jnp.sum((store.poses[:, 3:] - position[None, :]) ** 2, axis=-1)
+    recent = store.stamps >= (now - recent_sec)
+    selected = kf_mask & ((d2 <= radius * radius) | recent)
+    order_key = jnp.where(selected, d2, jnp.inf)
+    sel_idx = jnp.argsort(order_key)[:max_selected]            # (S,)
+    sel_valid = jnp.isfinite(order_key[sel_idx])               # (S,)
+    return sel_idx, sel_valid
+
+
+def _merge_selected(store: KeyframeStore, clouds: jax.Array, masks: jax.Array,
+                    sel_idx: jax.Array, sel_valid: jax.Array,
+                    leaf_size: float, map_capacity: int) -> pc.Cloud:
+    """Transform the selected keyframes' clouds to map frame, merge +
+    voxel-downsample into a fixed-capacity cloud (extractCloud)."""
+    poses = store.poses[sel_idx]                               # (S, 6)
+    sel_clouds = clouds[sel_idx]                               # (S, P, 3)
+    sel_masks = masks[sel_idx] & sel_valid[:, None]            # (S, P)
+    R, t = se3.pose6_to_Rt(poses)                              # (S,3,3),(S,3)
+    world = jnp.einsum("sij,spj->spi", R, sel_clouds) + t[:, None, :]
+    merged = pc.Cloud(xyz=world.reshape(-1, 3), mask=sel_masks.reshape(-1))
+    return pc.voxel_downsample(merged, leaf_size, map_capacity)
 
 
 @partial(jax.jit, static_argnames=("max_selected", "map_capacity"))
@@ -80,25 +126,25 @@ def assemble_local_map(store: KeyframeStore, position: jax.Array,
     `position` plus those of the last `recent_sec` seconds; take the
     `max_selected` nearest; transform their clouds to map frame; merge +
     voxel-downsample into a fixed-capacity map cloud."""
-    K = store.poses.shape[0]
-    kf_mask = jnp.arange(K) < store.count
-    d2 = jnp.sum((store.poses[:, 3:] - position[None, :]) ** 2, axis=-1)
-    recent = store.stamps >= (now - recent_sec)
-    selected = kf_mask & ((d2 <= radius * radius) | recent)
-    # nearest max_selected among selected
-    order_key = jnp.where(selected, d2, jnp.inf)
-    sel_idx = jnp.argsort(order_key)[:max_selected]            # (S,)
-    sel_valid = jnp.isfinite(order_key[sel_idx])               # (S,)
+    sel_idx, sel_valid = _select_nearby(store, position, now, radius,
+                                        recent_sec, max_selected)
+    return _merge_selected(store, store.clouds, store.cloud_masks,
+                           sel_idx, sel_valid, leaf_size, map_capacity)
 
-    poses = store.poses[sel_idx]                               # (S, 6)
-    clouds = store.clouds[sel_idx]                             # (S, P, 3)
-    masks = store.cloud_masks[sel_idx] & sel_valid[:, None]    # (S, P)
-    R, t = se3.pose6_to_Rt(poses)                              # (S,3,3),(S,3)
-    world = jnp.einsum("sij,spj->spi", R, clouds) + t[:, None, :]
-    flat = world.reshape(-1, 3)
-    flat_mask = masks.reshape(-1)
-    merged = pc.Cloud(xyz=flat, mask=flat_mask)
-    return pc.voxel_downsample(merged, leaf_size, map_capacity)
+
+@partial(jax.jit, static_argnames=("max_selected", "map_capacity"))
+def assemble_corner_map(store: KeyframeStore, position: jax.Array,
+                        now: jax.Array, radius: float, recent_sec: float,
+                        leaf_size: float, max_selected: int,
+                        map_capacity: int) -> pc.Cloud:
+    """Corner-feature local map (upstream LIO-SAM's laserCloudCornerFromMap):
+    same keyframe selection as the surf map, gathered from the per-keyframe
+    corner clouds.  Corner sets are small (<=2k/keyframe) so a per-scan
+    rebuild is a couple of matmuls."""
+    sel_idx, sel_valid = _select_nearby(store, position, now, radius,
+                                        recent_sec, max_selected)
+    return _merge_selected(store, store.corner_clouds, store.corner_masks,
+                           sel_idx, sel_valid, leaf_size, map_capacity)
 
 
 def transform_keyframe_clouds(store: KeyframeStore) -> jax.Array:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from lio_slam_tpu.config import Config
 from lio_slam_tpu.graph import factors as F
 from lio_slam_tpu.graph import solver
+from lio_slam_tpu.graph import sparse
 from lio_slam_tpu.ops import registration as reg
 from lio_slam_tpu.ops import scancontext as sc_mod
 from lio_slam_tpu.ops import voxel_grid as vg
@@ -69,6 +70,9 @@ class ScanInput(NamedTuple):
     gps_pos: jax.Array         # (3,) ENU position paired to this scan
     gps_info: jax.Array        # (3,) information diag for the GPS factor
     gps_valid: jax.Array       # () bool
+    # LOAM corner features (None unless cfg.registration.use_corner_features;
+    # None is an empty pytree so surf-only programs are unchanged)
+    corner: pc.Cloud = None
 
 
 class StepOutput(NamedTuple):
@@ -97,8 +101,11 @@ def init_state(cfg: Config) -> LioState:
     B = K - 1 + s.max_loop_queue * 8      # odometry chain + loop region
     G = s.max_gps_queue * 8
     Q = s.max_loop_queue
+    corner_pts = (s.max_corner_points
+                  if cfg.registration.use_corner_features else 1)
     return LioState(
-        store=kf.empty_store(K, s.max_keyframe_points),
+        store=kf.empty_store(K, s.max_keyframe_points,
+                             corner_points_per_kf=corner_pts),
         graph=F.empty_graph(K, B, G),
         map_grid=vg.empty_grid(cfg.registration.nn_radius,
                                cfg.registration.grid_table_size,
@@ -118,6 +125,18 @@ def init_state(cfg: Config) -> LioState:
         pend_info=jnp.zeros((Q, 6), jnp.float32),
         pend_mask=jnp.zeros(Q, bool),
     )
+
+
+def _use_sparse_solver(cfg: Config) -> bool:
+    """Full-graph solver selection (StaticConfig.full_solver): the dense
+    (K·6)² assembly wins at small capacities; the block-tridiagonal+Woodbury
+    factorization (graph/sparse.py) is the production path — iSAM2 in the
+    reference stays O(active) as the graph grows (mapOptmization.cpp:2082),
+    and so must we."""
+    fs = cfg.static.full_solver
+    if fs not in ("auto", "dense", "sparse"):
+        raise ValueError(f"full_solver must be auto|dense|sparse, got {fs!r}")
+    return fs == "sparse" or (fs == "auto" and cfg.static.max_keyframes > 512)
 
 
 def _update_initial_guess(state: LioState, inp: ScanInput) -> jax.Array:
@@ -145,7 +164,9 @@ def _add_gps_factor(state: LioState, inp: ScanInput, new_idx: jax.Array,
     spaced = jnp.linalg.norm(cur_pos - state.last_gps_pos) > cfg.gps.gps_distance_frequency
 
     def with_cov(_):
-        cov = solver.marginal_covariance(g, new_idx)
+        cov = (sparse.marginal_covariance_sparse(g, new_idx)
+               if _use_sparse_solver(cfg)
+               else solver.marginal_covariance(g, new_idx))
         return (cov[3, 3] > cfg.gps.pose_cov_threshold) | \
                (cov[4, 4] > cfg.gps.pose_cov_threshold)
 
@@ -208,7 +229,8 @@ def _consume_pending_loops(state: LioState, cfg: Config) -> LioState:
 
 
 def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
-                   scan_ds: pc.Cloud, cfg: Config) -> LioState:
+                   scan_ds: pc.Cloud, cfg: Config,
+                   corner_ds: pc.Cloud = None) -> LioState:
     """saveKeyFramesAndFactor (:2064-2171) + correctPoses (:2173-2204)."""
     g = state.graph
     prev_idx = state.store.count - 1
@@ -235,7 +257,8 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
     )
 
     # insert keyframe into store + graph variables
-    store = kf.add_keyframe(state.store, pose, inp.stamp, scan_ds)
+    store = kf.add_keyframe(state.store, pose, inp.stamp, scan_ds,
+                            corner=corner_ds)
     g = g._replace(
         poses=g.poses.at[new_idx].set(pose),
         pose_mask=g.pose_mask.at[new_idx].set(True))
@@ -293,8 +316,11 @@ def make_full_correction(cfg: Config):
     @jax.jit
     def full_correct(state: LioState) -> LioState:
         def run(state: LioState) -> LioState:
-            g = solver.solve(state.graph, state.graph.pose_mask,
-                             iterations=5).graph
+            if _use_sparse_solver(cfg):
+                g = sparse.solve_sparse(state.graph, iterations=5).graph
+            else:
+                g = solver.solve(state.graph, state.graph.pose_mask,
+                                 iterations=5).graph
             store = state.store._replace(poses=jnp.where(
                 g.pose_mask[:, None], g.poses, state.store.poses))
             state = state._replace(graph=g, store=store,
@@ -335,10 +361,31 @@ def make_lio_step(cfg: Config):
             scan_ds = pc.voxel_downsample(inp.cloud, r.mapping_surf_leaf_size,
                                           s.max_scan_points)
 
+        use_corner = r.use_corner_features and inp.corner is not None
+        if use_corner:
+            corner_ds = pc.voxel_downsample(inp.corner,
+                                            r.mapping_corner_leaf_size,
+                                            s.max_corner_points)
+            corner_map = kf.assemble_corner_map(
+                state.store, pose_guess[3:], inp.stamp,
+                radius=r.surrounding_radius, recent_sec=r.recent_window_sec,
+                leaf_size=r.mapping_corner_leaf_size,
+                max_selected=cfg.output.local_map_keyframes,
+                map_capacity=s.max_corner_map_points)
+        else:
+            corner_ds = None
+
         has_map = state.store.count > 0
         if r.local_map_mode == "incremental":
-            res = reg.register_with_grid(scan_ds.xyz, scan_ds.mask & has_map,
-                                         state.map_grid, pose_guess, r)
+            if use_corner:
+                res = reg.register_loam_with_grid(
+                    scan_ds.xyz, scan_ds.mask & has_map, state.map_grid,
+                    corner_ds.xyz, corner_ds.mask & has_map,
+                    corner_map.xyz, corner_map.mask, pose_guess, r)
+            else:
+                res = reg.register_with_grid(scan_ds.xyz,
+                                             scan_ds.mask & has_map,
+                                             state.map_grid, pose_guess, r)
         else:
             local_map = kf.assemble_local_map(
                 state.store, pose_guess[3:], inp.stamp,
@@ -346,9 +393,16 @@ def make_lio_step(cfg: Config):
                 leaf_size=r.mapping_surf_leaf_size,
                 max_selected=cfg.output.local_map_keyframes,
                 map_capacity=s.max_map_points)
-            res = reg.register(scan_ds.xyz, scan_ds.mask & has_map,
-                               local_map.xyz, local_map.mask,
-                               pose_guess, r)
+            if use_corner:
+                res = reg.register_loam(
+                    scan_ds.xyz, scan_ds.mask & has_map,
+                    local_map.xyz, local_map.mask,
+                    corner_ds.xyz, corner_ds.mask & has_map,
+                    corner_map.xyz, corner_map.mask, pose_guess, r)
+            else:
+                res = reg.register(scan_ds.xyz, scan_ds.mask & has_map,
+                                   local_map.xyz, local_map.mask,
+                                   pose_guess, r)
         pose = jnp.where(has_map, res.pose, pose_guess)
         pose = reg.transform_update(pose, inp.imu_rpy, inp.imu_available,
                                     cfg.imu.imu_rpy_weight,
@@ -360,7 +414,8 @@ def make_lio_step(cfg: Config):
         state = state._replace(pose=pose, degenerate=res.degenerate)
         state = jax.lax.cond(
             is_kf,
-            lambda st: _save_keyframe(st, inp, pose, scan_ds, cfg),
+            lambda st: _save_keyframe(st, inp, pose, scan_ds, cfg,
+                                      corner_ds=corner_ds),
             lambda st: st,
             state)
 

@@ -45,15 +45,25 @@ class ScanResult:
     is_keyframe: bool
     num_inliers: int
     positioning_mode: int
-    imu_rate_poses: Optional[np.ndarray] = None   # (T, 6) odometry/imu stream
+    imu_rate_poses: Optional[np.ndarray] = None   # (T, 6) odometry/imu_incremental
+    # TransformFusion output (imuPreintegration.cpp:107-129): the system's
+    # highest-rate pose stream `odometry/imu` — lidar map pose composed with
+    # the IMU increment since that pose, one row per IMU sample in the window
+    fused_rate_poses: Optional[np.ndarray] = None  # (T, 6)
 
 
 class Runner:
     def __init__(self, cfg: Optional[Config] = None, loop_every: int = 10,
-                 record_bag: Optional[str] = None):
+                 record_bag: Optional[str] = None,
+                 mission_log: Optional[str] = None):
         """record_bag: write the odometry/gpsdata outputs to a ROS1 bag —
         the reference's saveBagFlag path (mapOptmization.cpp:243-246,
-        2244-2246 writes /liorf/mapping/odometry per mapping step)."""
+        2244-2246 writes /liorf/mapping/odometry per mapping step).
+
+        mission_log: JSONL path — one structured record per mapping step
+        (pose, diagnostics, FSM mode, loop/keyframe events, stage timings).
+        The reference gets this observability for free from `rosbag record`
+        of ~40 topics; this is the single-file equivalent."""
         self.cfg = cfg or get_config("default")
         self.loop_every = loop_every
         self._bag = None
@@ -66,6 +76,9 @@ class Runner:
         self.detector = loop_closure.make_loop_detector(self.cfg)
         self.correct, self.predict_rate, self.transform_fusion = \
             fe.make_frontend(self.cfg.imu)
+        # batched TransformFusion over the whole IMU-rate pose train
+        self._fuse_train = jax.jit(jax.vmap(self.transform_fusion,
+                                            in_axes=(None, None, 0)))
         self.local_map_fn, self.height_map_fn = outputs.make_local_map_fn(self.cfg)
         self.state = lio.init_state(self.cfg)
         self.imu_state = fe.init_state()
@@ -74,6 +87,10 @@ class Runner:
         self.scan_count = 0
         self.trajectory: list[np.ndarray] = []
         self.mapping_error = False
+        self._mission_log = open(mission_log, "w") if mission_log else None
+        # last raw vehicle GPS record (lat, lon, alt, heading?) — the
+        # "gpsdata" side of the sensor_fusion_output arbitration (:707-724)
+        self._last_raw_fix: Optional[tuple] = None
         self._last_processed_stamp = -1e18
         # Mission-time origin: real bags carry epoch stamps (~1.7e9 s) whose
         # float32 ulp is 128 s — every time gate downstream (loop-closure 30 s
@@ -117,12 +134,14 @@ class Runner:
 
     def _make_prep(self):
         """One jitted program for the whole scan-prep stage: deskew + range/
-        crop filter + ring/point decimation over the padded raw cloud
-        (projectPointCloud, imageProjection.cpp:577-615).  Padding to
-        `max_raw_points` happens on the host BEFORE tracing so every scan
-        length hits the same compiled program."""
+        crop filter + optional LOAM corner extraction + ring/point decimation
+        over the padded raw cloud (projectPointCloud,
+        imageProjection.cpp:577-615 + featureExtraction.cpp:141-237).
+        Padding to `max_raw_points` happens on the host BEFORE tracing so
+        every scan length hits the same compiled program."""
         cfg = self.cfg
         lid = cfg.lidar
+        reg = cfg.registration
 
         @jax.jit
         def prep(xyz, ptime, pmask, ring, gyr, rel_times, imask, have_imu):
@@ -132,10 +151,30 @@ class Runner:
             cloud = pc.filter_points(cloud, lid.lidar_min_range,
                                      lid.lidar_max_range,
                                      lid.crop_box_min, lid.crop_box_max)
+            if reg.use_corner_features:
+                # corner features come off the FULL-resolution filtered cloud
+                # (the reference extracts before any decimation); the corner
+                # set is compacted to a fixed capacity
+                from lio_slam_tpu.ops import features as feat_mod
+                ranges, vimg, idx_img = feat_mod.project_range_image(
+                    desk, cloud.mask, ring, lid.n_scan, lid.horizon_scan)
+                f = feat_mod.extract_features(
+                    ranges, vimg, edge_threshold=reg.edge_threshold,
+                    surf_threshold=reg.surf_threshold)
+                Pc = cfg.static.max_corner_points
+                flat_edge = f.edge_mask.reshape(-1)
+                flat_idx = idx_img.reshape(-1)
+                order = jnp.argsort(~flat_edge)       # edges first
+                take = order[:Pc]
+                c_idx = flat_idx[take]
+                c_ok = flat_edge[take] & (c_idx >= 0)
+                corner = pc.Cloud(xyz=desk[jnp.maximum(c_idx, 0)], mask=c_ok)
+            else:
+                corner = None
             if lid.point_filter_num > 1 or lid.downsample_rate > 1:
                 cloud = pc.decimate(cloud, lid.point_filter_num, ring=ring,
                                     downsample_rate=lid.downsample_rate)
-            return cloud
+            return cloud, corner
 
         return prep
 
@@ -184,15 +223,23 @@ class Runner:
 
         with self.timer.stage("deskew"):
             xyz_p, t_p, mask_p, ring_p = self._pad_raw(scan)
-            cloud = self._prep(xyz_p, t_p, mask_p, ring_p, gyr, rel_t, imask,
-                               jnp.asarray(have_imu))
+            cloud, corner = self._prep(xyz_p, t_p, mask_p, ring_p, gyr,
+                                       rel_t, imask, jnp.asarray(have_imu))
 
         # initial guess from the IMU front-end (odometry/imu_incremental role)
+        fused_rate = None
         if bool(self.imu_state.initialized) and have_imu:
             rate_poses = self.predict_rate(self.imu_state, acc, gyr, dts,
                                            imask_corr)
             guess = rate_poses[-1]
             gvalid = True
+            # TransformFusion (:107-129): latest lidar map pose composed with
+            # each sample's IMU increment since that pose — the live
+            # `odometry/imu` stream.  The train starts at the previous
+            # correction, whose map pose is trajectory[-1].
+            if self.trajectory:
+                fused_rate = self._fuse_train(jnp.asarray(self.trajectory[-1]),
+                                              rate_poses[0], rate_poses)
         else:
             rate_poses = None
             guess = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
@@ -206,6 +253,11 @@ class Runner:
         if gps_fix is not None and cfg.gps.use_gps:
             lat, lon, alt = gps_fix[:3]
             status = gps_fix[3] if len(gps_fix) > 3 else 0
+            raw_heading = (float(gps_fix[5])
+                           if len(gps_fix) > 5 and gps_fix[5] is not None
+                           else None)
+            self._last_raw_fix = (float(lat), float(lon), float(alt),
+                                  raw_heading, t)
             gps_cov = (np.asarray(gps_fix[4], np.float64)
                        if len(gps_fix) > 4 and gps_fix[4] is not None else None)
             self.fsm.on_gps(t)
@@ -252,7 +304,8 @@ class Runner:
             cloud=cloud, stamp=jnp.float32(t),
             init_guess=jnp.asarray(guess), guess_valid=jnp.asarray(gvalid),
             imu_rpy=imu_rpy, imu_available=jnp.asarray(have_imu),
-            gps_pos=gps_pos, gps_info=gps_info, gps_valid=jnp.asarray(gps_valid))
+            gps_pos=gps_pos, gps_info=gps_info,
+            gps_valid=jnp.asarray(gps_valid), corner=corner)
         with self.timer.stage("mapping_step"):
             self.state, out = self.step(self.state, inp)
             pose = np.asarray(out.pose)
@@ -282,10 +335,33 @@ class Runner:
             pose=pose, incremental=np.asarray(out.incremental),
             degenerate=bool(out.degenerate), is_keyframe=bool(out.is_keyframe),
             num_inliers=int(out.num_inliers), positioning_mode=mode,
-            imu_rate_poses=None if rate_poses is None else np.asarray(rate_poses))
+            imu_rate_poses=None if rate_poses is None else np.asarray(rate_poses),
+            fused_rate_poses=None if fused_rate is None else np.asarray(fused_rate))
         if self._bag is not None:
             self._record_outputs(scan.stamp, result)
+        if self._mission_log is not None:
+            self._log_step(scan.stamp, t, result)
         return result
+
+    def _log_step(self, stamp: float, t: float, r: ScanResult):
+        """One structured JSONL record per mapping step — poses, health,
+        loop/keyframe/FSM events (SURVEY.md §5 observability; the reference
+        relies on rosbag record of its ~40 diagnostic topics)."""
+        rec = {
+            "stamp": float(stamp), "t": round(float(t), 6),
+            "pose": [round(float(v), 6) for v in r.pose],
+            "degenerate": r.degenerate, "keyframe": r.is_keyframe,
+            "inliers": r.num_inliers, "mode": r.positioning_mode,
+            "keyframes": int(self.state.store.count),
+            "loops": int(self.state.loop_count),
+            "gps_factors": int(self.state.gps_count),
+            "mapping_error": self.mapping_error,
+            "scan_rate_hz": round(self.scan_rate.hz, 2),
+        }
+        last = self.timer.last()
+        if last:
+            rec["stage_ms"] = {k: round(v * 1e3, 3) for k, v in last.items()}
+        self._mission_log.write(json.dumps(rec) + "\n")
 
     def _record_outputs(self, stamp: float, r: ScanResult):
         """saveBagFlag parity: per mapping step, write the global odometry
@@ -309,6 +385,13 @@ class Runner:
                 rb.encode_gps_with_heading(
                     stamp, fo.latitude, fo.longitude, fo.altitude,
                     fo.heading, fo.pitch, fo.roll, mode=fo.mode), stamp)
+            # the FSM-arbitrated record (gpsDataHandler :707-724)
+            so, _src = self.sensor_fusion_output(stamp)
+            self._bag.write(
+                "/sensor_fusion_output", "sensor_driver_msgs/GpswithHeading",
+                rb.encode_gps_with_heading(
+                    stamp, so.latitude, so.longitude, so.altitude,
+                    so.heading, so.pitch, so.roll, mode=so.mode), stamp)
 
     def close_bag(self):
         if self._bag is not None:
@@ -324,6 +407,9 @@ class Runner:
             result = self.save_map(self.cfg.output.save_directory,
                                    resolution=self.cfg.output.global_map_leaf_size)
         self.close_bag()
+        if self._mission_log is not None:
+            self._mission_log.close()
+            self._mission_log = None
         return result
 
     def __enter__(self):
@@ -380,12 +466,29 @@ class Runner:
         return gf.fusion_gps_output(pose.astype(np.float64), stamp,
                                     self.gps_intake.transform, self.fsm.mode)
 
+    def sensor_fusion_output(self, stamp: float):
+        """The arbitrated `sensor_fusion_output` record (gpsDataHandler
+        :707-724): the FSM's `select_source` decides whether the SLAM-fused
+        geodetic record or the raw vehicle GPS record is published.  Returns
+        (FusionOutput, source) with source in {"fusion", "raw"}."""
+        fused = self.fusion_output(stamp)
+        raw = self._last_raw_fix
+        raw_heading = (raw[3] if raw is not None and raw[3] is not None
+                       else fused.heading)
+        src = self.fsm.select_source(fused.heading, raw_heading)
+        if src == "raw" and raw is not None:
+            return gf.FusionOutput(
+                stamp=stamp, latitude=raw[0], longitude=raw[1],
+                altitude=raw[2], heading=raw_heading,
+                roll=0.0, pitch=0.0, mode=self.fsm.mode), "raw"
+        return fused, "fusion"
+
 
 def _run_synthetic(args):
     from lio_slam_tpu.io import synthetic
     cfg = get_config(args.preset)
     runner = Runner(cfg, loop_every=args.loop_every,
-                    record_bag=args.record_bag)
+                    record_bag=args.record_bag, mission_log=args.mission_log)
     seq = synthetic.make_sequence(n_scans=args.scans, n_points=args.points,
                                   seed=args.seed)
     t0 = time.time()
@@ -445,7 +548,7 @@ def _run_bag(args):
 
     cfg = get_config(args.preset)
     runner = Runner(cfg, loop_every=args.loop_every,
-                    record_bag=args.record_bag)
+                    record_bag=args.record_bag, mission_log=args.mission_log)
     topics = BagTopics(lidar=args.lidar_topic, imu=args.imu_topic,
                        gps=args.gps_topic, sensor=args.sensor)
     t0 = time.time()
@@ -499,6 +602,8 @@ def main():
                          "(reference saveBagFlag)")
     ap.add_argument("--report-timing", action="store_true",
                     help="print the per-stage timing report at the end")
+    ap.add_argument("--mission-log", default=None,
+                    help="write a per-step structured JSONL mission log")
     args = ap.parse_args()
     if args.bag:
         _run_bag(args)

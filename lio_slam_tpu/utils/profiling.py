@@ -27,12 +27,14 @@ class StageStats:
     total: float = 0.0
     max: float = 0.0
     ema: float = 0.0
+    last_dt: float = 0.0
 
     def update(self, dt: float, alpha: float = 0.1):
         self.count += 1
         self.total += dt
         self.max = max(self.max, dt)
         self.ema = dt if self.count == 1 else (1 - alpha) * self.ema + alpha * dt
+        self.last_dt = dt
 
 
 class StageTimer:
@@ -62,6 +64,10 @@ class StageTimer:
             lines.append(f"{name:>24s}: n={s.count:5d} mean={mean * 1e3:8.2f}ms "
                          f"ema={s.ema * 1e3:8.2f}ms max={s.max * 1e3:8.2f}ms")
         return "\n".join(lines)
+
+    def last(self) -> dict:
+        """Most recent duration per stage (seconds) — per-step logging."""
+        return {k: v.last_dt for k, v in self.stats.items()}
 
     def as_dict(self) -> dict:
         return {k: {"count": v.count, "mean_ms": v.total / max(v.count, 1) * 1e3,

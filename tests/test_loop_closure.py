@@ -169,3 +169,21 @@ def test_poses_stay_consistent_after_loop(loop_run):
     # store mirrors graph after correction
     np.testing.assert_allclose(poses, np.asarray(state.graph.poses[:n_kf]),
                                atol=1e-5)
+
+
+def test_sparse_full_correction_matches_dense(loop_run):
+    """The production full-graph correction (full_solver='sparse',
+    graph/sparse.py) must reproduce the dense correction on a real
+    post-loop pipeline state — the wiring check for VERDICT round-1 item 4."""
+    import dataclasses
+    cfg, state, out = loop_run
+    st = state._replace(needs_full_solve=jnp.ones((), bool))
+    mk = lambda fs: lio.make_full_correction(
+        cfg.replace(static=dataclasses.replace(cfg.static, full_solver=fs)))
+    dense = mk("dense")(st)
+    sp = mk("sparse")(st)
+    n = int(state.store.count)
+    assert np.isfinite(np.asarray(sp.graph.poses[:n])).all()
+    np.testing.assert_allclose(np.asarray(sp.graph.poses[:n]),
+                               np.asarray(dense.graph.poses[:n]), atol=5e-3)
+    assert not bool(sp.needs_full_solve)

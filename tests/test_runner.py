@@ -143,3 +143,73 @@ def test_no_recompilation_across_scans(seq):
             ring=scan.ring[:keep], time=scan.time[:keep], stamp=scan.stamp))
     # PjitFunction exposes its compiled-variant count
     assert runner.step._cache_size() == 1, runner.step._cache_size()
+
+
+def test_transform_fusion_stream(seq):
+    """The live `odometry/imu` equivalent (TransformFusion,
+    imuPreintegration.cpp:107-129): fused high-rate poses exist, are finite,
+    and the train is anchored at the previous mapping pose (the increment of
+    the first sample relative to itself is identity)."""
+    cfg = small_cfg()
+    runner = Runner(cfg, loop_every=100)
+    out = None
+    for i in range(4):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        prev_pose = runner.trajectory[-1] if runner.trajectory else None
+        out = runner.process_scan(scan_at(seq, i), imu=imu)
+    assert out.fused_rate_poses is not None
+    fr = out.fused_rate_poses
+    assert np.isfinite(fr).all()
+    # first sample's increment vs itself is identity -> fused[0] == prev pose
+    np.testing.assert_allclose(fr[0], prev_pose, atol=1e-5)
+    # the end of the fused train lands near the new mapping pose (IMU window
+    # covers the inter-scan motion)
+    assert np.linalg.norm(fr[-1][3:] - out.pose[3:]) < 0.25
+
+
+def test_sensor_fusion_output_arbitration(seq):
+    """sensor_fusion_output source switching (gpsDataHandler :707-724):
+    normal mode publishes the raw vehicle record; once the FSM flags a jam,
+    the SLAM-fused record takes over."""
+    from lio_slam_tpu.config import GpsConfig
+    from lio_slam_tpu.pipeline import gps_fusion as gf
+    cfg = small_cfg(gps=GpsConfig(use_gps=True, gps_cov_threshold=5.0))
+    runner = Runner(cfg, loop_every=100)
+    lat0, lon0 = 39.9, 116.3
+    for i in range(4):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        fix = (lat0 + 1e-6 * i, lon0, 50.0, 0, np.ones(3) * 0.5, 90.0)
+        runner.process_scan(scan_at(seq, i), imu=imu, gps_fix=fix)
+    # normal mode with switch_gps_data: the raw vehicle record is selected,
+    # carrying the raw lat/heading verbatim
+    assert runner.fsm.mode == gf.MODE_NORMAL
+    rec, src = runner.sensor_fusion_output(float(seq.stamps[3]))
+    assert src == "raw"
+    assert rec.heading == 90.0
+    assert abs(rec.latitude - (lat0 + 3e-6)) < 1e-9
+    # a jam (FSM transitions covered in test_gps_fusion) flips the source to
+    # the SLAM-fused record
+    runner.fsm.mode = gf.MODE_JAMMED
+    rec, src = runner.sensor_fusion_output(float(seq.stamps[3]))
+    assert src == "fusion"
+    assert rec.mode == gf.MODE_JAMMED
+    assert abs(rec.latitude - lat0) < 1e-3   # fused geodetic output near datum
+
+
+def test_mission_log(tmp_path, seq):
+    import json
+    log_path = str(tmp_path / "mission.jsonl")
+    cfg = small_cfg()
+    runner = Runner(cfg, loop_every=100, mission_log=log_path)
+    for i in range(3):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        runner.process_scan(scan_at(seq, i), imu=imu)
+    runner.close()
+    recs = [json.loads(l) for l in open(log_path)]
+    assert len(recs) == 3
+    for r in recs:
+        assert {"stamp", "t", "pose", "degenerate", "keyframe", "inliers",
+                "mode", "keyframes", "loops", "mapping_error",
+                "stage_ms"} <= set(r)
+    assert recs[-1]["keyframes"] >= 1
+    assert recs[-1]["stage_ms"]["mapping_step"] > 0
