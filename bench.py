@@ -99,12 +99,67 @@ def main():
                           "error": f"diverged drift={drift:.2f}"}))
         return
 
+    # Runner-level throughput: the whole pipeline with the host in the loop
+    # (padding, deskew prep, mapping step, IMU front-end, loop-detector
+    # cadence, per-scan host<->device transfer) — the honest counterpart to
+    # the on-device lax.scan number above (the reference's 10x-real-time
+    # claim is whole-pipeline).  Warmup scans absorb compiles; the timed
+    # region is steady-state.
+    runner_stats = {}
+    try:
+        runner_stats = bench_runner(n_scans=40, warmup=14)
+    except Exception as e:                      # never break the bench line
+        runner_stats = {"runner_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": "scans_per_sec",
         "value": round(scans_per_sec, 3),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 100.0, 4),
+        **runner_stats,
     }))
+
+
+def bench_runner(n_scans: int = 40, warmup: int = 14) -> dict:
+    """End-to-end Runner throughput on a synthetic mission (per-scan host
+    dispatch, all stages live, loop detector every 10 scans)."""
+    from lio_slam_tpu.io import formats
+    from lio_slam_tpu.pipeline.runner import Runner
+
+    cfg = bench_config()
+    runner = Runner(cfg, loop_every=10)
+    seq = synthetic.make_sequence(n_scans=n_scans, n_points=32768, seed=0,
+                                  speed=2.0)
+    t_start = None
+    for i in range(n_scans):
+        m = seq.scan_masks[i]
+        scan = formats.StandardScan(
+            xyz=seq.scans[i][m],
+            intensity=np.zeros(int(m.sum()), np.float32),
+            ring=np.zeros(int(m.sum()), np.uint16),
+            time=np.zeros(int(m.sum()), np.float32),
+            stamp=float(seq.stamps[i]))
+        imu = None
+        if i:
+            inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
+                                               jnp.asarray(seq.poses[i])))
+            T = 10
+            t0, t1 = float(seq.stamps[i - 1]), float(seq.stamps[i])
+            imu = {"acc": np.tile([0, 0, cfg.imu.gravity], (T, 1)).astype(np.float32),
+                   "gyr": np.tile(inc[:3] / (t1 - t0), (T, 1)).astype(np.float32),
+                   "stamps": np.linspace(t0, t1, T + 1)[1:]}
+        if i == warmup:
+            t_start = time.time()
+        runner.process_scan(scan, imu=imu)
+    elapsed = time.time() - t_start
+    timed = n_scans - warmup
+    est = np.stack(runner.trajectory)
+    rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                                 jnp.asarray(p)))
+                    for p in seq.poses])
+    ate = synthetic.ate_rmse(est, rel)
+    return {"runner_scans_per_sec": round(timed / elapsed, 2),
+            "runner_ate_m": round(float(ate), 4)}
 
 
 if __name__ == "__main__":

@@ -63,6 +63,9 @@ def write_synthetic_bag(
     lidar_topic: str = "/velodyne_points",
     imu_topic: str = "/imu/data",
     gps_topic: str = "/gps/fix",
+    raw_gps_topic: str | None = None,  # "gpsdata" raw vehicle stream — keeps
+                                       # arriving through corrected-GPS jams
+                                       # (drives the positioning-mode FSM)
     world_extent: float = 60.0,
     noise: float = 0.01,
 ) -> SyntheticBagTruth:
@@ -153,6 +156,17 @@ def write_synthetic_bag(
                                           float(lon), float(alt), cov=cov)
                 events.append((stamps[i] + 0.01, 2, gps_topic,
                                "sensor_msgs/NavSatFix", raw))
+        if raw_gps_topic is not None:
+            # the raw vehicle record (GpswithHeading) is unaffected by the
+            # corrected-stream jam window
+            enu_r = poses[i, 3:6].astype(np.float64) + rs.randn(3) * 0.5
+            lat_r, lon_r, alt_r = geo.reverse(enu_r)
+            heading = float(enu_mod.heading_from_yaw(float(poses[i, 2])))
+            raw = rb.encode_gps_with_heading(
+                stamps[i] + 0.02, float(lat_r), float(lon_r), float(alt_r),
+                heading, 0.0, 0.0, mode=0)
+            events.append((stamps[i] + 0.02, 3, raw_gps_topic,
+                           "sensor_driver_msgs/GpswithHeading", raw))
 
     events.sort(key=lambda e: (e[0], e[1]))
     for stamp, _, topic, mtype, raw in events:

@@ -104,7 +104,11 @@ class PositioningModeFSM:
     _recover_start: float = 0.0
 
     def on_gps(self, stamp: float) -> None:
-        self._last_gps_stamp = stamp
+        """Mark the corrected stream ("GPSmsg") at its DATA timestamp.
+        Monotonic: a late scan-paired marking must not regress a fresher
+        arrival-time marking (LiveFeed marks on push, the Runner re-marks at
+        the delayed scan's stamp)."""
+        self._last_gps_stamp = max(self._last_gps_stamp, stamp)
 
     def step(self, raw_stamp: float, now: float) -> int:
         gap = abs(raw_stamp - self._last_gps_stamp)

@@ -36,10 +36,13 @@ def scan_at(seq, i):
 def imu_between(seq, i, g):
     inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
                                        jnp.asarray(seq.poses[i])))
-    T, dtau = 10, 0.01
+    T = 10
+    t0, t1 = float(seq.stamps[i - 1]), float(seq.stamps[i])
+    # samples span (t0, t1] ending exactly at the scan stamp (like a real
+    # stream bracketing the correction time)
     return {"acc": np.tile([0, 0, g], (T, 1)).astype(np.float32),
-            "gyr": np.tile(inc[:3] / 0.1, (T, 1)).astype(np.float32),
-            "stamps": seq.stamps[i - 1] + np.arange(1, T + 1) * dtau}
+            "gyr": np.tile(inc[:3] / (t1 - t0), (T, 1)).astype(np.float32),
+            "stamps": np.linspace(t0, t1, T + 1)[1:]}
 
 
 def test_mission_with_imu(seq):
@@ -178,8 +181,12 @@ def test_sensor_fusion_output_arbitration(seq):
     lat0, lon0 = 39.9, 116.3
     for i in range(4):
         imu = imu_between(seq, i, cfg.imu.gravity) if i else None
-        fix = (lat0 + 1e-6 * i, lon0, 50.0, 0, np.ones(3) * 0.5, 90.0)
+        fix = (lat0 + 1e-6 * i, lon0, 50.0, 0, np.ones(3) * 0.5)
         runner.process_scan(scan_at(seq, i), imu=imu, gps_fix=fix)
+        # raw vehicle stream carries the heading (gpsdata role); arriving
+        # right after the corrected fix keeps the FSM in NORMAL
+        runner.on_raw_gps(float(seq.stamps[i]), lat0 + 1e-6 * i, lon0, 50.0,
+                          heading=90.0)
     # normal mode with switch_gps_data: the raw vehicle record is selected,
     # carrying the raw lat/heading verbatim
     assert runner.fsm.mode == gf.MODE_NORMAL
