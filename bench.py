@@ -127,7 +127,9 @@ def bench_runner(n_scans: int = 40, warmup: int = 14) -> dict:
     from lio_slam_tpu.pipeline.runner import Runner
 
     cfg = bench_config()
-    runner = Runner(cfg, loop_every=10)
+    # fetch_every=8: results drain in batches so the tunneled device->host
+    # round trip (~40 ms) is paid once per 8 scans, not per scan
+    runner = Runner(cfg, loop_every=10, fetch_every=8)
     seq = synthetic.make_sequence(n_scans=n_scans, n_points=32768, seed=0,
                                   speed=2.0)
     t_start = None
@@ -151,6 +153,7 @@ def bench_runner(n_scans: int = 40, warmup: int = 14) -> dict:
         if i == warmup:
             t_start = time.time()
         runner.process_scan(scan, imu=imu)
+    runner.drain()
     elapsed = time.time() - t_start
     timed = n_scans - warmup
     est = np.stack(runner.trajectory)

@@ -344,9 +344,79 @@ def preset_urban_hongkong() -> Config:
     )
 
 
+def preset_jeep() -> Config:
+    """config/jeep.yaml — 80-beam rig, 6-axis 100 Hz IMU, GPS gating at 10 m²,
+    loop closure disabled (jeep.yaml loopClosureEnableFlag: false)."""
+    return Config(
+        lidar=LidarConfig(
+            sensor=SensorType.VELODYNE, n_scan=80, horizon_scan=1800,
+            downsample_rate=5, point_filter_num=3,
+            lidar_min_range=0.0, lidar_max_range=100.0,
+        ),
+        imu=ImuConfig(imu_type=0, imu_rate=100.0, gravity=9.80511),
+        gps=GpsConfig(use_gps=True, gps_cov_threshold=10.0,
+                      gps_distance_frequency=1.0),
+        loop=LoopClosureConfig(enabled=False, frequency=0.2),
+    )
+
+
+def preset_m1() -> Config:
+    """config/m1.yaml — Livox (6 'rings' x 4000), 6-axis 100 Hz IMU, GPS with
+    elevation+location enabled at a loose 25 m² covariance gate."""
+    return Config(
+        lidar=LidarConfig(
+            sensor=SensorType.LIVOX, n_scan=6, horizon_scan=4000,
+            downsample_rate=3, point_filter_num=1,
+            lidar_min_range=0.0, lidar_max_range=100.0,
+        ),
+        imu=ImuConfig(imu_type=0, imu_rate=100.0, gravity=9.80511),
+        gps=GpsConfig(use_gps=True, use_gps_elevation=True,
+                      gps_cov_threshold=25.0, gps_distance_frequency=1.0),
+        loop=LoopClosureConfig(enabled=True, frequency=1.0),
+    )
+
+
+def preset_lio_sam_identity() -> Config:
+    """config/lio_sam_identity.yaml — VLP-16, 6-axis 500 Hz IMU, identity
+    gyro/acc extrinsic but 90-degree-yaw RPY extrinsic."""
+    return Config(
+        lidar=LidarConfig(sensor=SensorType.VELODYNE, n_scan=16,
+                          horizon_scan=1800, lidar_min_range=1.0,
+                          lidar_max_range=1000.0),
+        imu=ImuConfig(imu_type=0, imu_rate=500.0,
+                      ext_rpy=(0, -1, 0, 1, 0, 0, 0, 0, 1)),
+        loop=LoopClosureConfig(enabled=True, frequency=1.0),
+    )
+
+
+def preset_lio_sam_6t() -> Config:
+    """config/lio_sam_6t.yaml — the 6t rig under upstream-LIO-SAM settings:
+    80-beam, min range 3 m, 9-axis 50 Hz IMU with the calibrated
+    near-identity extrinsic rotation, loop thread at 1 Hz."""
+    return Config(
+        lidar=LidarConfig(
+            sensor=SensorType.VELODYNE, n_scan=80, horizon_scan=1800,
+            downsample_rate=5, point_filter_num=3,
+            lidar_min_range=3.0, lidar_max_range=100.0,
+        ),
+        imu=ImuConfig(
+            imu_type=1, imu_rate=50.0, gravity=9.80511,
+            ext_rot=(9.99999998e-01, -3.25602390e-07, 5.51350946e-05,
+                     3.49065850e-07, 9.99999909e-01, -4.25563599e-04,
+                     -5.51349510e-05, 4.25563618e-04, 9.99999908e-01),
+        ),
+        gps=GpsConfig(use_gps=True, gps_cov_threshold=2.0),
+        loop=LoopClosureConfig(enabled=True, frequency=1.0),
+    )
+
+
 PRESETS = {
     "default": default_config,
     "6t": preset_6t,
+    "jeep": preset_jeep,
+    "m1": preset_m1,
+    "lio_sam_identity": preset_lio_sam_identity,
+    "lio_sam_6t": preset_lio_sam_6t,
     "kitti": preset_kitti,
     "ouster": preset_ouster,
     "livox": preset_livox,

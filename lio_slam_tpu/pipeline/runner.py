@@ -55,7 +55,8 @@ class ScanResult:
 class Runner:
     def __init__(self, cfg: Optional[Config] = None, loop_every: int = 10,
                  record_bag: Optional[str] = None,
-                 mission_log: Optional[str] = None):
+                 mission_log: Optional[str] = None,
+                 fetch_every: int = 1):
         """record_bag: write the odometry/gpsdata outputs to a ROS1 bag —
         the reference's saveBagFlag path (mapOptmization.cpp:243-246,
         2244-2246 writes /liorf/mapping/odometry per mapping step).
@@ -63,9 +64,25 @@ class Runner:
         mission_log: JSONL path — one structured record per mapping step
         (pose, diagnostics, FSM mode, loop/keyframe events, stage timings).
         The reference gets this observability for free from `rosbag record`
-        of ~40 topics; this is the single-file equivalent."""
+        of ~40 topics; this is the single-file equivalent.
+
+        fetch_every: batch the blocking device->host result fetch over N
+        scans (1 = synchronous, the default).  Over a tunneled/remote TPU
+        a blocking read costs a full round trip (~40 ms); batching
+        amortizes it so per-scan cost approaches pure dispatch.  With N>1,
+        `process_scan` returns the most recently DRAINED result (None until
+        the first batch completes); `drain()` flushes the tail.  The
+        reference is likewise pipelined — its publishers don't block the
+        mapping thread (mapOptmization.cpp:2223)."""
         self.cfg = cfg or get_config("default")
         self.loop_every = loop_every
+        self.fetch_every = max(int(fetch_every), 1)
+        # deferred-fetch queue: (epoch stamp, mission t, mode, device fetch
+        # dict) per processed scan, drained in one device_get
+        self._pending: list[tuple] = []
+        # last mapping pose as a DEVICE array — the host never needs to
+        # block on it for the next scan's initial guess / TransformFusion
+        self._last_pose_dev = None
         self._bag = None
         if record_bag:
             from lio_slam_tpu.io.rosbag import BagWriter
@@ -133,11 +150,16 @@ class Runner:
         static window size, rotating into the lidar frame (imuConverter,
         utility.h:333-366).  Returns (acc, gyr, dts, rel_times, mask, have):
         `rel_times` are sample times relative to scan start (f64 host math,
-        small f32 on device) for the deskew rotation table."""
+        small f32 on device) for the deskew rotation table.
+
+        Everything returned is HOST numpy — transfers ride each jitted
+        call's argument batch instead of paying one eager round trip per
+        array (over a tunneled TPU, six `jnp.asarray`s cost six RTTs)."""
         W = self.cfg.static.max_imu_window
         if imu is None or len(imu.get("stamps", [])) == 0:
-            return (jnp.zeros((W, 3)), jnp.zeros((W, 3)), jnp.zeros(W),
-                    jnp.zeros(W), jnp.zeros(W, bool), False)
+            z3 = np.zeros((W, 3), np.float32)
+            z = np.zeros(W, np.float32)
+            return (z3, z3, z, z, np.zeros(W, bool), False)
         acc = np.asarray(imu["acc"], np.float32) @ self._ext_R.T
         gyr = np.asarray(imu["gyr"], np.float32) @ self._ext_R.T
         stamps = np.asarray(imu["stamps"], np.float64)
@@ -146,10 +168,9 @@ class Runner:
         n = min(len(stamps), W)
         pad = lambda a, sh: np.concatenate(
             [a[:n], np.zeros((W - n,) + sh, a.dtype)])
-        return (jnp.asarray(pad(acc, (3,))), jnp.asarray(pad(gyr, (3,))),
-                jnp.asarray(pad(dt.astype(np.float32), ())),
-                jnp.asarray(pad(rel, ())),
-                jnp.asarray(np.arange(W) < n), True)
+        return (pad(acc, (3,)), pad(gyr, (3,)),
+                pad(dt.astype(np.float32), ()), pad(rel, ()),
+                np.arange(W) < n, True)
 
     def _make_prep(self):
         """One jitted program for the whole scan-prep stage: deskew + range/
@@ -243,7 +264,7 @@ class Runner:
         with self.timer.stage("deskew"):
             xyz_p, t_p, mask_p, ring_p = self._pad_raw(scan)
             cloud, corner = self._prep(xyz_p, t_p, mask_p, ring_p, gyr,
-                                       rel_t, imask, jnp.asarray(have_imu))
+                                       rel_t, imask, np.bool_(have_imu))
 
         # initial guess from the IMU front-end (odometry/imu_incremental role)
         fused_rate = None
@@ -255,19 +276,20 @@ class Runner:
             # TransformFusion (:107-129): latest lidar map pose composed with
             # each sample's IMU increment since that pose — the live
             # `odometry/imu` stream.  The train starts at the previous
-            # correction, whose map pose is trajectory[-1].
-            if self.trajectory:
-                fused_rate = self._fuse_train(jnp.asarray(self.trajectory[-1]),
+            # correction, whose map pose stays device-resident.
+            if self._last_pose_dev is not None:
+                fused_rate = self._fuse_train(self._last_pose_dev,
                                               rate_poses[0], rate_poses)
         else:
             rate_poses = None
-            guess = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
-            gvalid = bool(self.trajectory)
+            gvalid = self._last_pose_dev is not None
+            guess = (self._last_pose_dev if gvalid
+                     else np.zeros(6, np.float32))
 
         # GPS
         mode = gf.MODE_NORMAL
-        gps_pos = jnp.zeros(3)
-        gps_info = jnp.zeros(3)
+        gps_pos = np.zeros(3, np.float32)
+        gps_info = np.zeros(3, np.float32)
         gps_valid = False
         if gps_fix is not None and cfg.gps.use_gps:
             lat, lon, alt = gps_fix[:3]
@@ -290,16 +312,16 @@ class Runner:
                       float(max(obs.covariance[0], obs.covariance[1]))
                       <= cfg.gps.gps_cov_threshold)
             if obs is not None and obs.accurate and cov_ok:
-                gps_pos = jnp.asarray(obs.enu.astype(np.float32))
-                gps_info = jnp.asarray((1.0 / np.maximum(obs.covariance, 1e-3))
-                                       .astype(np.float32))
+                gps_pos = obs.enu.astype(np.float32)
+                gps_info = (1.0 / np.maximum(obs.covariance, 1e-3)) \
+                    .astype(np.float32)
                 gps_valid = True
 
         # 9-axis attitude init (imuDeskewInfo :381-385): prefer the measured
         # orientation of the first IMU sample in the window, rotated by
         # extQRPY (imuConverter, utility.h:352-356: q_final = q_from·extQRPY);
         # fall back to the front-end's propagated attitude
-        imu_rpy = jnp.zeros(3)
+        imu_rpy = np.zeros(3, np.float32)
         if have_imu and self.cfg.imu.imu_type == 1:
             quat = None if imu is None else imu.get("quat")
             if quat is not None and len(quat):
@@ -312,21 +334,32 @@ class Runner:
                 q = None
             if q is not None and np.isfinite(q).all() \
                     and abs(float(np.linalg.norm(q)) - 1.0) < 0.1:
-                qwxyz = np.array([q[3], q[0], q[1], q[2]])  # ros xyzw -> wxyz
-                R_meas = np.asarray(se3.quat_to_matrix(jnp.asarray(qwxyz)))
-                imu_rpy = jnp.asarray(se3.matrix_to_rpy(
-                    jnp.asarray(R_meas @ self._ext_RPY)))
+                # host-numpy quat->R->rpy (same conventions as utils/se3 —
+                # no device round trip for a 4-vector)
+                w, x, y, z = q[3], q[0], q[1], q[2]   # ros xyzw -> wxyz
+                n = np.sqrt(w * w + x * x + y * y + z * z)
+                w, x, y, z = w / n, x / n, y / n, z / n
+                R_meas = np.array([
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+                R = R_meas @ self._ext_RPY
+                imu_rpy = np.array([
+                    np.arctan2(R[2, 1], R[2, 2]),
+                    np.arcsin(np.clip(-R[2, 0], -1.0, 1.0)),
+                    np.arctan2(R[1, 0], R[0, 0])], dtype=np.float32)
             elif self._imu_ready:
                 imu_rpy = se3.matrix_to_rpy(self.imu_state.nav.R)
 
         inp = lio.ScanInput(
-            cloud=cloud, stamp=jnp.float32(t),
-            init_guess=jnp.asarray(guess), guess_valid=jnp.asarray(gvalid),
-            imu_rpy=imu_rpy, imu_available=jnp.asarray(have_imu),
+            cloud=cloud, stamp=np.float32(t),
+            init_guess=guess, guess_valid=np.bool_(gvalid),
+            imu_rpy=imu_rpy, imu_available=np.bool_(have_imu),
             gps_pos=gps_pos, gps_info=gps_info,
-            gps_valid=jnp.asarray(gps_valid), corner=corner)
+            gps_valid=np.bool_(gps_valid), corner=corner)
         with self.timer.stage("mapping_step"):
             self.state, out = self.step(self.state, inp)
+        self._last_pose_dev = out.pose
 
         # IMU front-end correction with the mapping result (out.pose stays
         # ON DEVICE — the chain runs async; nothing blocks yet)
@@ -337,15 +370,27 @@ class Runner:
                                               out.degenerate)
             self._imu_ready = True
 
-        # ONE blocking transfer per scan: every scalar/array the host needs
-        # this step is fetched together.  Per-field np.asarray()/bool() calls
-        # each cost a device round trip — over the tunneled TPU that is
-        # ~50-100 ms apiece and dominated the whole pipeline (VERDICT #10's
-        # runner-level number).
+        # full-graph correction when the step consumed loop factors — gated
+        # ON DEVICE (lax.cond on needs_full_solve), so no host read is
+        # needed to decide
+        with self.timer.stage("full_correction"):
+            self.state = self.full_correct(self.state)
+
+        # loop-closure cadence (the reference's 0.2-1 Hz thread)
+        self.scan_count += 1
+        if (self.cfg.loop.enabled and
+                self.scan_count % self.loop_every == 0):
+            with self.timer.stage("loop_closure"):
+                self.state = self.detector(self.state)
+
+        # Queue every scalar/array the host needs from this step; the
+        # blocking transfer happens once per `fetch_every` scans (drain).
+        # Per-field np.asarray()/bool() calls each cost a device round trip
+        # — over the tunneled TPU that is ~40 ms apiece and dominated the
+        # whole pipeline (VERDICT #10's runner-level number).
         fetch = {"pose": out.pose, "incremental": out.incremental,
                  "degenerate": out.degenerate, "is_keyframe": out.is_keyframe,
-                 "num_inliers": out.num_inliers,
-                 "needs_full": self.state.needs_full_solve}
+                 "num_inliers": out.num_inliers}
         if have_imu:
             fetch["imu_failure"] = self.imu_state.failure
         if rate_poses is not None:
@@ -356,40 +401,42 @@ class Runner:
             fetch["kf_count"] = self.state.store.count
             fetch["loop_count"] = self.state.loop_count
             fetch["gps_count"] = self.state.gps_count
+        self._pending.append((float(scan.stamp), t, mode, fetch))
+        if len(self._pending) >= self.fetch_every:
+            return self.drain()
+        return None
+
+    def drain(self) -> Optional[ScanResult]:
+        """Flush the deferred-fetch queue: ONE blocking device_get for all
+        pending scans, then emit their ScanResults (trajectory, bag records,
+        mission log).  Returns the newest result, or None if nothing was
+        pending."""
+        if not self._pending:
+            return None
+        pending, self._pending = self._pending, []
         with self.timer.stage("host_fetch"):
-            vals = jax.device_get(fetch)
-        pose = np.asarray(vals["pose"])
-        self.trajectory.append(pose)
-        if have_imu:
-            self.mapping_error = bool(vals["imu_failure"])
-
-        # full-graph correction if the last keyframe consumed loop factors
-        if bool(vals["needs_full"]):
-            with self.timer.stage("full_correction"):
-                self.state = self.full_correct(self.state)
-
-        # loop-closure cadence (the reference's 0.2-1 Hz thread)
-        self.scan_count += 1
-        if (self.cfg.loop.enabled and
-                self.scan_count % self.loop_every == 0):
-            with self.timer.stage("loop_closure"):
-                self.state = self.detector(self.state)
-
-        result = ScanResult(
-            pose=pose, incremental=np.asarray(vals["incremental"]),
-            degenerate=bool(vals["degenerate"]),
-            is_keyframe=bool(vals["is_keyframe"]),
-            num_inliers=int(vals["num_inliers"]), positioning_mode=mode,
-            imu_rate_poses=vals.get("rate_poses"),
-            fused_rate_poses=vals.get("fused_rate"))
-        if self._mission_log is not None:
-            self._log_counts = (int(vals["kf_count"]),
-                                int(vals["loop_count"]),
-                                int(vals["gps_count"]))
-        if self._bag is not None:
-            self._record_outputs(scan.stamp, result)
-        if self._mission_log is not None:
-            self._log_step(scan.stamp, t, result)
+            all_vals = jax.device_get([f for (_, _, _, f) in pending])
+        result = None
+        for (stamp, t, mode, _), vals in zip(pending, all_vals):
+            pose = np.asarray(vals["pose"])
+            self.trajectory.append(pose)
+            if "imu_failure" in vals:
+                self.mapping_error = bool(vals["imu_failure"])
+            result = ScanResult(
+                pose=pose, incremental=np.asarray(vals["incremental"]),
+                degenerate=bool(vals["degenerate"]),
+                is_keyframe=bool(vals["is_keyframe"]),
+                num_inliers=int(vals["num_inliers"]), positioning_mode=mode,
+                imu_rate_poses=vals.get("rate_poses"),
+                fused_rate_poses=vals.get("fused_rate"))
+            if self._mission_log is not None:
+                self._log_counts = (int(vals["kf_count"]),
+                                    int(vals["loop_count"]),
+                                    int(vals["gps_count"]))
+            if self._bag is not None:
+                self._record_outputs(stamp, result)
+            if self._mission_log is not None:
+                self._log_step(stamp, t, result)
         return result
 
     def _log_step(self, stamp: float, t: float, r: ScanResult):
@@ -451,6 +498,7 @@ class Runner:
         """Shutdown: auto-save the global map when cfg.output.save_pcd is set
         (visualizeGlobalMapThread :981-989 saves at exit when savePCD) and
         flush the output bag."""
+        self.drain()
         result = None
         if self.cfg.output.save_pcd and int(self.state.store.count) > 0:
             result = self.save_map(self.cfg.output.save_directory,
@@ -471,17 +519,20 @@ class Runner:
     # -- products ---------------------------------------------------------
 
     def local_planning_map(self):
-        pose = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
+        pose = (self._last_pose_dev if self._last_pose_dev is not None
+                else jnp.zeros(6))
         return self.local_map_fn(self.state.store, pose)
 
     def height_map(self):
-        pose = jnp.asarray(self.trajectory[-1]) if self.trajectory else jnp.zeros(6)
+        pose = (self._last_pose_dev if self._last_pose_dev is not None
+                else jnp.zeros(6))
         return self.height_map_fn(self.local_planning_map(), pose)
 
     def save_map(self, destination: str, resolution: float = 0.0):
         return outputs.save_map(self.state.store, destination, resolution)
 
     def save_checkpoint(self, path: str):
+        self.drain()
         from lio_slam_tpu.pipeline import checkpoint
         checkpoint.save_checkpoint(
             path, self.state, self.imu_state,
@@ -503,6 +554,7 @@ class Runner:
             last = int(self.state.store.count) - 1
             self.trajectory = [np.asarray(self.state.store.poses[i])
                                for i in range(last + 1)]
+            self._last_pose_dev = self.state.store.poses[last]
         return meta
 
     def health(self) -> dict:
@@ -512,6 +564,7 @@ class Runner:
                 "mapping_error": self.mapping_error}
 
     def fusion_output(self, stamp: float):
+        self.drain()          # no-op mid-drain (_pending already popped)
         pose = self.trajectory[-1] if self.trajectory else np.zeros(6)
         return gf.fusion_gps_output(pose.astype(np.float64), stamp,
                                     self.gps_intake.transform, self.fsm.mode)

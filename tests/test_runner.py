@@ -138,14 +138,23 @@ def test_no_recompilation_across_scans(seq):
     """Static-shape discipline: varying live point counts must all pad into
     the same compiled lio_step (recompiles would blow the 100 ms budget)."""
     runner = Runner(small_cfg(), loop_every=100)
+    warm = None
     for i in range(6):
         scan = scan_at(seq, i)
         keep = max(50, len(scan.xyz) - i * 137)   # vary the live count
         runner.process_scan(formats.StandardScan(
             xyz=scan.xyz[:keep], intensity=scan.intensity[:keep],
             ring=scan.ring[:keep], time=scan.time[:keep], stamp=scan.stamp))
-    # PjitFunction exposes its compiled-variant count
-    assert runner.step._cache_size() == 1, runner.step._cache_size()
+        if i == 1:
+            # after the first scan the argument types stabilize (scan 0's
+            # init-guess fallback is host numpy; from then on it is the
+            # device-resident last pose — a pjit fastpath-cache entry each,
+            # same compiled executable)
+            warm = runner.step._cache_size()
+    # PjitFunction exposes its variant count: growth after warmup would mean
+    # point-count-dependent retraces
+    assert runner.step._cache_size() == warm, \
+        (warm, runner.step._cache_size())
 
 
 def test_transform_fusion_stream(seq):
