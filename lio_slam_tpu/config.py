@@ -353,7 +353,12 @@ def preset_jeep() -> Config:
             downsample_rate=5, point_filter_num=3,
             lidar_min_range=0.0, lidar_max_range=100.0,
         ),
-        imu=ImuConfig(imu_type=0, imu_rate=100.0, gravity=9.80511),
+        imu=ImuConfig(imu_type=0, imu_rate=100.0, gravity=9.80511,
+                      # per-rig calibration, jeep.yaml:63-66
+                      acc_noise=3.7686306102624571e-02,
+                      gyr_noise=2.3417543020438883e-03,
+                      acc_bias_noise=1.1416642385952368e-03,
+                      gyr_bias_noise=1.4428407712885209e-05),
         gps=GpsConfig(use_gps=True, gps_cov_threshold=10.0,
                       gps_distance_frequency=1.0),
         loop=LoopClosureConfig(enabled=False, frequency=0.2),
@@ -369,7 +374,12 @@ def preset_m1() -> Config:
             downsample_rate=3, point_filter_num=1,
             lidar_min_range=0.0, lidar_max_range=100.0,
         ),
-        imu=ImuConfig(imu_type=0, imu_rate=100.0, gravity=9.80511),
+        imu=ImuConfig(imu_type=0, imu_rate=100.0, gravity=9.80511,
+                      # per-rig calibration, m1.yaml:59-62
+                      acc_noise=8.1330537434371481e-03,
+                      gyr_noise=7.4266825125507141e-03,
+                      acc_bias_noise=1.2123362494392119e-04,
+                      gyr_bias_noise=8.6572985145653080e-05),
         gps=GpsConfig(use_gps=True, use_gps_elevation=True,
                       gps_cov_threshold=25.0, gps_distance_frequency=1.0),
         loop=LoopClosureConfig(enabled=True, frequency=1.0),
@@ -401,6 +411,11 @@ def preset_lio_sam_6t() -> Config:
         ),
         imu=ImuConfig(
             imu_type=1, imu_rate=50.0, gravity=9.80511,
+            # per-rig calibration, lio_sam_6t.yaml:44-47
+            acc_noise=8.1330537434371481e-03,
+            gyr_noise=7.4266825125507141e-03,
+            acc_bias_noise=1.2123362494392119e-04,
+            gyr_bias_noise=8.6572985145653080e-05,
             ext_rot=(9.99999998e-01, -3.25602390e-07, 5.51350946e-05,
                      3.49065850e-07, 9.99999909e-01, -4.25563599e-04,
                      -5.51349510e-05, 4.25563618e-04, 9.99999908e-01),

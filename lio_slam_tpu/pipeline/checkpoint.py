@@ -25,7 +25,9 @@ from lio_slam_tpu.config import Config
 from lio_slam_tpu.pipeline import imu_frontend as fe
 from lio_slam_tpu.pipeline import lio
 
-FORMAT_VERSION = 1
+# v2: LioState grew `evict_count` (keyframe-capacity eviction counter) —
+# leaves are stored positionally, so the layout is versioned
+FORMAT_VERSION = 2
 
 
 def _flatten_with_paths(tree):

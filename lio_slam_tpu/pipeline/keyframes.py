@@ -68,8 +68,9 @@ def should_add_keyframe(store: KeyframeStore, pose: jax.Array,
 
 def add_keyframe(store: KeyframeStore, pose: jax.Array, stamp: jax.Array,
                  cloud: pc.Cloud, corner: pc.Cloud = None) -> KeyframeStore:
-    """Append at slot `count` (capacity-saturating: when full, overwrite the
-    last slot — callers should size K for the mission)."""
+    """Append at slot `count`.  The mission path never calls this at
+    capacity — `lio._evict_oldest` frees slot K-1 first (ring eviction with
+    graph rebase); the clamp below is only a safety net for direct callers."""
     i = jnp.minimum(store.count, store.poses.shape[0] - 1)
     P = store.clouds.shape[1]
     store = store._replace(

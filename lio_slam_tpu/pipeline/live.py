@@ -92,9 +92,12 @@ class LiveFeed:
             self.IMU_DIM, imu_capacity, use_native)
         self._pending: Optional[formats.StandardScan] = None
         self._last_scan_stamp: Optional[float] = None
-        self._last_gps: Optional[tuple] = None
-        self._last_gps_stamp = -1e18
-        self.gps_pair_window = 0.5   # pair newest fix within +-0.5 s of scan
+        # corrected-GPS queue: every fix is kept and scanned per keyframe
+        # within +-0.2 s, the reference's gpsQueue semantics
+        # (addGPSFactor, mapOptmization.cpp:1961-1976) — round 2 kept only
+        # the newest fix, silently dropping fixes at GPS rates > scan rate
+        self._gps_queue: list[tuple] = []
+        self.gps_pair_window = 0.2   # reference window (:1966-1970)
         # deskew needs the rotation table to extend past the sweep tail —
         # the reference integrates IMU to currentScanTime + 0.01
         # (imuDeskewInfo bracketing); tail samples are NOT consumed, so the
@@ -113,10 +116,12 @@ class LiveFeed:
 
     def push_gps(self, t: float, lat: float, lon: float, alt: float,
                  status: int = 0, covariance=None, heading=None) -> None:
-        """Corrected GPS stream ("GPSmsg" role): paired to scans as factors;
-        marks the FSM's corrected-side timestamp at arrival (data time)."""
-        self._last_gps = (lat, lon, alt, status, covariance, heading)
-        self._last_gps_stamp = t
+        """Corrected GPS stream ("GPSmsg" role): queued (every fix) and
+        scanned per scan as factor candidates; marks the FSM's corrected-side
+        timestamp at arrival (data time)."""
+        self._gps_queue.append((float(t), lat, lon, alt, status, covariance))
+        if len(self._gps_queue) > 4096:
+            del self._gps_queue[0]
         self.runner.fsm.on_gps(float(t))
 
     def push_raw_gps(self, t: float, lat: float = None, lon: float = None,
@@ -162,10 +167,17 @@ class LiveFeed:
 
     def _process(self, scan: formats.StandardScan):
         imu = self._window_for(scan)
-        gps = None
-        if (self._last_gps is not None
-                and abs(self._last_gps_stamp - float(scan.stamp))
-                < self.gps_pair_window):
-            gps = self._last_gps
-        self._last_scan_stamp = float(scan.stamp)
-        return self.runner.process_scan(scan, imu=imu, gps_fix=gps)
+        # queue-scan pairing (addGPSFactor :1961-1976): drop fixes older
+        # than scan-window, consume every fix inside +-gps_pair_window as a
+        # candidate (in time order), keep newer fixes for the next scan
+        t = float(scan.stamp)
+        w = self.gps_pair_window
+        fixes, keep = [], []
+        for rec in self._gps_queue:
+            if rec[0] < t - w:
+                continue                       # stale — pop permanently
+            (fixes if rec[0] <= t + w else keep).append(rec)
+        self._gps_queue = keep
+        self._last_scan_stamp = t
+        return self.runner.process_scan(scan, imu=imu,
+                                        gps_fixes=fixes or None)

@@ -56,7 +56,9 @@ class Runner:
     def __init__(self, cfg: Optional[Config] = None, loop_every: int = 10,
                  record_bag: Optional[str] = None,
                  mission_log: Optional[str] = None,
-                 fetch_every: int = 1):
+                 fetch_every: int = 1,
+                 auto_checkpoint: Optional[str] = None,
+                 checkpoint_every: int = 50):
         """record_bag: write the odometry/gpsdata outputs to a ROS1 bag —
         the reference's saveBagFlag path (mapOptmization.cpp:243-246,
         2244-2246 writes /liorf/mapping/odometry per mapping step).
@@ -65,6 +67,14 @@ class Runner:
         (pose, diagnostics, FSM mode, loop/keyframe events, stage timings).
         The reference gets this observability for free from `rosbag record`
         of ~40 topics; this is the single-file equivalent.
+
+        auto_checkpoint: path for periodic crash-recovery checkpoints —
+        the full SLAM state is saved every `checkpoint_every` processed
+        scans (atomic write).  This is the respawn-parity mechanism: the
+        reference relies on roslaunch respawn="true" restarting a dead
+        node from scratch (module_loam.launch:5-8, losing the whole map);
+        here `Runner.resume(path, cfg)` restarts from the last checkpoint
+        with at most checkpoint_every scans of trajectory lost.
 
         fetch_every: batch the blocking device->host result fetch over N
         scans (1 = synchronous, the default).  Over a tunneled/remote TPU
@@ -77,6 +87,8 @@ class Runner:
         self.cfg = cfg or get_config("default")
         self.loop_every = loop_every
         self.fetch_every = max(int(fetch_every), 1)
+        self._auto_checkpoint = auto_checkpoint
+        self._checkpoint_every = max(int(checkpoint_every), 1)
         # deferred-fetch queue: (epoch stamp, mission t, mode, device fetch
         # dict) per processed scan, drained in one device_get
         self._pending: list[tuple] = []
@@ -104,6 +116,9 @@ class Runner:
         self.scan_count = 0
         self.trajectory: list[np.ndarray] = []
         self.mapping_error = False
+        # cumulative keyframe-capacity evictions (capacity-exhaustion signal;
+        # the reference's iSAM2 grows unboundedly so it has no equivalent)
+        self.keyframe_evictions = 0
         self._mission_log = open(mission_log, "w") if mission_log else None
         self._log_counts = (0, 0, 0)
         # host-side mirror of imu_state.initialized (True after the first
@@ -237,8 +252,15 @@ class Runner:
 
     def process_scan(self, scan: formats.StandardScan,
                      imu: Optional[dict] = None,
-                     gps_fix: Optional[tuple] = None) -> ScanResult:
-        """gps_fix: optional (lat, lon, alt, status) tuple at ~scan time.
+                     gps_fix: Optional[tuple] = None,
+                     gps_fixes: Optional[list] = None) -> ScanResult:
+        """gps_fix: optional (lat, lon, alt, status[, covariance]) tuple at
+        ~scan time.  gps_fixes: optional LIST of candidate fixes
+        (stamp, lat, lon, alt, status, covariance) in time order — the
+        reference's per-keyframe GPS-queue scan (addGPSFactor
+        :1961-1976): every fix feeds the intake (datum averaging + jump
+        gate see the full stream), the first candidate passing all gates
+        becomes the factor.
 
         Returns None when the scan is dropped by the mappingProcessInterval
         throttle (laserCloudInfoHandler :452-456)."""
@@ -286,36 +308,49 @@ class Runner:
             guess = (self._last_pose_dev if gvalid
                      else np.zeros(6, np.float32))
 
-        # GPS
+        # GPS — normalize the single-fix convenience form into the candidate
+        # list (stamp, lat, lon, alt, status, covariance)
+        candidates = []
+        if gps_fixes:
+            candidates = list(gps_fixes)
+        elif gps_fix is not None:
+            candidates = [(float(scan.stamp), *gps_fix[:3],
+                           gps_fix[3] if len(gps_fix) > 3 else 0,
+                           gps_fix[4] if len(gps_fix) > 4 else None)]
         mode = gf.MODE_NORMAL
         gps_pos = np.zeros(3, np.float32)
         gps_info = np.zeros(3, np.float32)
         gps_valid = False
-        if gps_fix is not None and cfg.gps.use_gps:
-            lat, lon, alt = gps_fix[:3]
-            status = gps_fix[3] if len(gps_fix) > 3 else 0
-            gps_cov = (np.asarray(gps_fix[4], np.float64)
-                       if len(gps_fix) > 4 and gps_fix[4] is not None else None)
-            # gps_fix is the CORRECTED stream ("GPSmsg" role): it marks the
-            # FSM's corrected-side timestamp; the raw vehicle stream drives
-            # the state transitions via on_raw_gps (gpsDataHandler keys the
-            # jam detection on the gap between the two, :625-660).  FSM time
-            # is host-f64 EPOCH seconds so both sides share a clock.
-            self.fsm.on_gps(float(scan.stamp))
+        if candidates and cfg.gps.use_gps:
+            # candidates are the CORRECTED stream ("GPSmsg" role): they mark
+            # the FSM's corrected-side timestamp; the raw vehicle stream
+            # drives the state transitions via on_raw_gps (gpsDataHandler
+            # keys the jam detection on the gap between the two, :625-660).
+            # FSM time is host-f64 EPOCH seconds so both sides share a clock.
+            self.fsm.on_gps(max(float(c[0]) for c in candidates))
             mode = self.fsm.mode
-            obs = self.gps_intake.on_fix(t, lat, lon, alt, status,
-                                         covariance=gps_cov,
-                                         mode_normal=(mode == gf.MODE_NORMAL))
-            # message-covariance gate (addGPSFactor :1984-1989: skip fixes
-            # whose x/y covariance exceeds gpsCovThreshold)
-            cov_ok = (obs is None or
-                      float(max(obs.covariance[0], obs.covariance[1]))
-                      <= cfg.gps.gps_cov_threshold)
-            if obs is not None and obs.accurate and cov_ok:
-                gps_pos = obs.enu.astype(np.float32)
-                gps_info = (1.0 / np.maximum(obs.covariance, 1e-3)) \
-                    .astype(np.float32)
-                gps_valid = True
+            for c in candidates:
+                _, lat, lon, alt = c[:4]
+                status = c[4] if len(c) > 4 else 0
+                gps_cov = (np.asarray(c[5], np.float64)
+                           if len(c) > 5 and c[5] is not None else None)
+                # EVERY fix passes through the intake (the reference's
+                # gpsHandler projects every message; datum averaging and the
+                # jump gate must see the full stream)
+                obs = self.gps_intake.on_fix(
+                    t, lat, lon, alt, status, covariance=gps_cov,
+                    mode_normal=(mode == gf.MODE_NORMAL))
+                # message-covariance gate (addGPSFactor :1984-1989: skip
+                # fixes whose x/y covariance exceeds gpsCovThreshold); the
+                # FIRST candidate passing all gates becomes the factor
+                cov_ok = (obs is not None and
+                          float(max(obs.covariance[0], obs.covariance[1]))
+                          <= cfg.gps.gps_cov_threshold)
+                if obs is not None and obs.accurate and cov_ok and not gps_valid:
+                    gps_pos = obs.enu.astype(np.float32)
+                    gps_info = (1.0 / np.maximum(obs.covariance, 1e-3)) \
+                        .astype(np.float32)
+                    gps_valid = True
 
         # 9-axis attitude init (imuDeskewInfo :381-385): prefer the measured
         # orientation of the first IMU sample in the window, rotated by
@@ -390,7 +425,7 @@ class Runner:
         # whole pipeline (VERDICT #10's runner-level number).
         fetch = {"pose": out.pose, "incremental": out.incremental,
                  "degenerate": out.degenerate, "is_keyframe": out.is_keyframe,
-                 "num_inliers": out.num_inliers}
+                 "num_inliers": out.num_inliers, "evictions": out.evictions}
         if have_imu:
             fetch["imu_failure"] = self.imu_state.failure
         if rate_poses is not None:
@@ -402,9 +437,13 @@ class Runner:
             fetch["loop_count"] = self.state.loop_count
             fetch["gps_count"] = self.state.gps_count
         self._pending.append((float(scan.stamp), t, mode, fetch))
+        result = None
         if len(self._pending) >= self.fetch_every:
-            return self.drain()
-        return None
+            result = self.drain()
+        if (self._auto_checkpoint is not None
+                and self.scan_count % self._checkpoint_every == 0):
+            self.save_checkpoint(self._auto_checkpoint)
+        return result
 
     def drain(self) -> Optional[ScanResult]:
         """Flush the deferred-fetch queue: ONE blocking device_get for all
@@ -422,6 +461,7 @@ class Runner:
             self.trajectory.append(pose)
             if "imu_failure" in vals:
                 self.mapping_error = bool(vals["imu_failure"])
+            self.keyframe_evictions = int(vals["evictions"])
             result = ScanResult(
                 pose=pose, incremental=np.asarray(vals["incremental"]),
                 degenerate=bool(vals["degenerate"]),
@@ -451,6 +491,7 @@ class Runner:
             "keyframes": self._log_counts[0],
             "loops": self._log_counts[1],
             "gps_factors": self._log_counts[2],
+            "evictions": self.keyframe_evictions,
             "mapping_error": self.mapping_error,
             "scan_rate_hz": round(self.scan_rate.hz, 2),
         }
@@ -540,13 +581,29 @@ class Runner:
                       "t0": self._t0 if self._t0 is not None else float("nan"),
                       "last_stamp": self._last_processed_stamp})
 
+    @classmethod
+    def resume(cls, path: str, cfg: Optional[Config] = None, **kwargs):
+        """Resume-on-crash flow (respawn parity, module_loam.launch:5-8):
+        build a Runner for `cfg` and restore the last checkpoint.  Re-attach
+        a LiveFeed afterwards to continue a streaming mission — the 2-scan
+        delay buffer restarts empty, so the discontinuity is bounded by the
+        scans since the checkpoint plus the two buffered scans."""
+        runner = cls(cfg, **kwargs)
+        runner.load_checkpoint(path)
+        return runner
+
     def load_checkpoint(self, path: str):
         from lio_slam_tpu.pipeline import checkpoint
+        # queued pre-restore fetches belong to the discarded state — draining
+        # them after the restore would append stale poses / bag records onto
+        # the restored trajectory (round-2 advisor)
+        self._pending.clear()
         self.state, imu_state, meta = checkpoint.load_checkpoint(path, self.cfg)
         if imu_state is not None:
             self.imu_state = imu_state
             self._imu_ready = bool(imu_state.initialized)
         self.scan_count = int(meta.get("scan_count", 0))
+        self.keyframe_evictions = int(self.state.evict_count)
         t0 = float(meta.get("t0", float("nan")))
         self._t0 = None if np.isnan(t0) else t0
         self._last_processed_stamp = float(meta.get("last_stamp", -1e18))
@@ -558,10 +615,16 @@ class Runner:
         return meta
 
     def health(self) -> dict:
-        """`rostopic hz`-style health snapshot (README.md:308-322 discipline)."""
+        """`rostopic hz`-style health snapshot (README.md:308-322 discipline).
+
+        Drains pending fetches first so the flags reflect the latest
+        processed scan — with fetch_every>1, mapping_error/evictions would
+        otherwise lag by up to fetch_every-1 scans (round-2 advisor)."""
+        self.drain()
         return {"scan_rate_hz": round(self.scan_rate.hz, 2),
                 "scan_rate_healthy": self.scan_rate.healthy,
-                "mapping_error": self.mapping_error}
+                "mapping_error": self.mapping_error,
+                "keyframe_evictions": self.keyframe_evictions}
 
     def fusion_output(self, stamp: float):
         self.drain()          # no-op mid-drain (_pending already popped)

@@ -135,3 +135,38 @@ class TestLiveFeed:
         feed2.push_scan(scan_at(seq, 0))
         feed2.push_scan(scan_at(seq, 1))
         assert feed2.runner.gps_intake.datum is None
+
+    def test_gps_queue_scan_semantics_50hz(self):
+        """addGPSFactor queue-scan parity (mapOptmization.cpp:1961-1976): at
+        GPS rates above scan rate EVERY in-window fix reaches the intake as a
+        candidate (round 2 kept only the newest — datum averaging and the
+        jump gate saw a subset), stale fixes pop permanently, newer fixes
+        stay queued for the next scan."""
+        import dataclasses
+        from lio_slam_tpu.config import GpsConfig
+        cfg = dataclasses.replace(small_cfg(), gps=GpsConfig(use_gps=True))
+        runner = Runner(cfg, loop_every=100)
+        feed = LiveFeed(runner, use_native=False)
+        seq = synthetic.make_sequence(n_scans=3, n_points=2048, seed=0)
+        t0 = float(seq.stamps[0])
+
+        seen = []
+        orig = runner.gps_intake.on_fix
+        runner.gps_intake.on_fix = \
+            lambda s, *a, **k: (seen.append(s), orig(s, *a, **k))[1]
+
+        # 50 Hz corrected stream spanning ~[t0-0.3, t0+0.3] (offsets chosen
+        # off the exact +-0.2 window edges to avoid float-boundary wobble)
+        for k in range(31):
+            feed.push_gps(t0 - 0.299 + k * 0.02, 39.9 + k * 1e-7, 116.3, 50.0,
+                          covariance=np.ones(3))
+        feed.push_scan(scan_at(seq, 0))
+        feed.push_scan(scan_at(seq, 1))     # processes scan 0
+        # in-window candidates: |t - t0| <= 0.2 -> k = 5..24 -> 20 fixes
+        assert len(seen) == 20
+        # full-stream intake: the 5-fix datum averaging completes on ONE scan
+        assert runner.gps_intake._datum_fixed
+        # stale fixes (< t0-0.2) were popped permanently; newer fixes
+        # (> t0+0.2) remain queued for the next scan
+        assert all(ts > t0 + 0.2 for (ts, *_) in feed._gps_queue)
+        assert len(feed._gps_queue) == 6
