@@ -89,6 +89,12 @@ class ImuConfig:
     gyr_bias_noise: float = 3.5640318696367613e-05
     gravity: float = 9.80511
     imu_rpy_weight: float = 0.01      # roll/pitch slerp weight in transformUpdate
+    # front-end staleness gate: predictions from a state last corrected more
+    # than this many seconds ago are discarded in favor of holding the last
+    # mapping pose (the reference's odomAvailable=false fallback — its
+    # deskew requires odometry messages bracketing the scan,
+    # imageProjection.cpp:420-500)
+    max_correction_age: float = 2.0
     # extrinsics: lidar <- imu  (extrinsicRot rotates IMU into lidar frame)
     ext_rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)    # 3x3 row-major, gyro/acc
     ext_rpy: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)    # 3x3 row-major, orientation

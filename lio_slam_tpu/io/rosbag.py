@@ -477,6 +477,41 @@ def encode_pointcloud2(xyz: np.ndarray, intensity: np.ndarray,
     return b"".join(out)
 
 
+def encode_pointcloud2_robosense(xyz: np.ndarray, intensity: np.ndarray,
+                                 ring: np.ndarray, timestamp_abs: np.ndarray,
+                                 stamp: float,
+                                 frame_id: str = "rslidar") -> bytes:
+    """Robosense RsPointXYZIRT layout -> serialized PointCloud2: per-point
+    ABSOLUTE epoch timestamps as float64 (`timestamp` field), the layout the
+    reference normalizes in imageProjection.cpp:260-274.  Exercises the
+    float64-field decode path and the epoch-rebase discipline end-to-end."""
+    n = len(xyz)
+    dtype = np.dtype({"names": ["x", "y", "z", "intensity", "ring",
+                                "timestamp"],
+                      "formats": ["<f4", "<f4", "<f4", "<f4", "<u2", "<f8"],
+                      "offsets": [0, 4, 8, 12, 16, 18], "itemsize": 26})
+    arr = np.zeros(n, dtype)
+    arr["x"], arr["y"], arr["z"] = (np.asarray(xyz[:, i], np.float32)
+                                    for i in range(3))
+    arr["intensity"] = np.asarray(intensity, np.float32)
+    arr["ring"] = np.asarray(ring, np.uint16)
+    arr["timestamp"] = np.asarray(timestamp_abs, np.float64)
+    out = [_enc_header(stamp, frame_id)]
+    out.append(struct.pack("<II", 1, n))            # height, width
+    fields = [("x", 0, 7), ("y", 4, 7), ("z", 8, 7), ("intensity", 12, 7),
+              ("ring", 16, 4), ("timestamp", 18, 8)]
+    out.append(struct.pack("<I", len(fields)))
+    for name, off, dt in fields:
+        nb = name.encode()
+        out.append(struct.pack("<I", len(nb)) + nb
+                   + struct.pack("<IBI", off, dt, 1))
+    data = arr.tobytes()
+    out.append(struct.pack("<BII", 0, dtype.itemsize, dtype.itemsize * n))
+    out.append(struct.pack("<I", len(data)) + data)
+    out.append(struct.pack("<B", 1))                # is_dense
+    return b"".join(out)
+
+
 def encode_imu(stamp: float, orientation, angular_velocity,
                linear_acceleration, frame_id: str = "imu") -> bytes:
     z9 = np.zeros(9, "<f8").tobytes()
@@ -540,8 +575,14 @@ class BagWriter:
     for round-trip coverage and by `pipeline.outputs` for odometry-bag export
     (the reference's saveBagFlag path, mapOptmization.cpp:243-246)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compression: str = "none"):
+        """compression: 'none' or 'bz2' (what `rosbag compress --bz2`
+        produces — vehicle logs in the field commonly arrive bz2-chunked;
+        the reader transparently decompresses either)."""
+        if compression not in ("none", "bz2"):
+            raise ValueError(f"unsupported compression {compression!r}")
         self.path = path
+        self.compression = compression
         self._conns: Dict[str, int] = {}
         self._conn_records: List[bytes] = []
         self._msg_records: List[bytes] = []
@@ -583,7 +624,9 @@ class BagWriter:
             pad = max(4096 - len(h) - 8, 0)
             f.write(struct.pack("<I", len(h)) + h
                     + struct.pack("<I", pad) + b" " * pad)
+            payload = (bz2.compress(chunk) if self.compression == "bz2"
+                       else chunk)
             f.write(self._record(
                 {b"op": bytes([_OP_CHUNK]),
-                 b"compression": b"none",
-                 b"size": struct.pack("<I", len(chunk))}, chunk))
+                 b"compression": self.compression.encode(),
+                 b"size": struct.pack("<I", len(chunk))}, payload))

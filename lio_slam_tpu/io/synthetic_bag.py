@@ -68,6 +68,20 @@ def write_synthetic_bag(
                                        # (drives the positioning-mode FSM)
     world_extent: float = 60.0,
     noise: float = 0.01,
+    # --- hostile-stream options (round-3: adversarially mimic messy vehicle
+    # logs, the intake conditions the reference validates fatally in
+    # imageProjection.cpp:294-334 and README's field logs) ---
+    compression: str = "none",        # "bz2": rosbag-compress chunking
+    sensor_layout: str = "velodyne",  # "robosense": f64 absolute per-point
+                                      # timestamps (RsPointXYZIRT)
+    shuffle_window: float = 0.0,      # seconds of write-order jitter
+                                      # (out-of-order arrival; header stamps
+                                      # stay truthful)
+    dup_every: int = 0,               # duplicate every k-th IMU message
+    drop_imu_spans: tuple = (),       # ((start_s, end_s), ...) mission-rel
+                                      # windows with NO IMU samples
+    gps_rate_hz: float = 0.0,         # >0: continuous GPS stream at this
+                                      # rate (bursts above scan rate)
 ) -> SyntheticBagTruth:
     """Write a time-ordered synthetic mission bag; returns the ground truth.
 
@@ -95,8 +109,9 @@ def write_synthetic_bag(
     g = 9.80511
 
     geo = enu_mod.LocalCartesian(*datum)
-    writer = rb.BagWriter(path)
+    writer = rb.BagWriter(path, compression=compression)
     events = []        # (stamp, order_key, topic, type, raw)
+    n_imu_written = 0
 
     for i in range(n_scans):
         # --- lidar scan with rotational in-sweep skew ---
@@ -113,8 +128,15 @@ def write_synthetic_bag(
         times = np.zeros(n_points, np.float32)
         times[:nv] = t_pt
         ring = (np.arange(n_points) % 16).astype(np.uint16)
-        raw = rb.encode_pointcloud2(body[:nv], np.zeros(nv, np.float32),
-                                    ring[:nv], times[:nv], stamps[i])
+        if sensor_layout == "robosense":
+            # RsPointXYZIRT: absolute f64 epoch timestamps per point
+            ts_abs = stamps[i] + t_pt.astype(np.float64)
+            raw = rb.encode_pointcloud2_robosense(
+                body[:nv], np.zeros(nv, np.float32), ring[:nv], ts_abs,
+                stamps[i])
+        else:
+            raw = rb.encode_pointcloud2(body[:nv], np.zeros(nv, np.float32),
+                                        ring[:nv], times[:nv], stamps[i])
         events.append((stamps[i], 1, lidar_topic,
                        "sensor_msgs/PointCloud2", raw))
 
@@ -137,12 +159,21 @@ def write_synthetic_bag(
                 acc_body = R_full[s - 1].T @ (a_w + np.array([0.0, 0.0, g]))
                 qw = q_all[s - 1]
                 quat = np.array([qw[1], qw[2], qw[3], qw[0]])   # -> xyzw
+                trel_s = ts - epoch
+                if any(a <= trel_s < b for (a, b) in drop_imu_spans):
+                    continue                # dropped span (mid-sweep gap)
                 raw = rb.encode_imu(ts, quat, w.astype(np.float64),
                                     acc_body.astype(np.float64))
                 events.append((ts, 0, imu_topic, "sensor_msgs/Imu", raw))
+                n_imu_written += 1
+                if dup_every and n_imu_written % dup_every == 0:
+                    # duplicate message (same stamp + payload) — real logs
+                    # contain them; the intake must not double-integrate
+                    # the sample nor crash
+                    events.append((ts, 0, imu_topic, "sensor_msgs/Imu", raw))
 
         # --- GPS fix at scan time ---
-        if gps:
+        if gps and gps_rate_hz <= 0:
             trel = float(rel_ts[i])
             jammed = gps_jam is not None and gps_jam[0] <= trel < gps_jam[1]
             if not jammed:
@@ -168,7 +199,39 @@ def write_synthetic_bag(
             events.append((stamps[i] + 0.02, 3, raw_gps_topic,
                            "sensor_driver_msgs/GpswithHeading", raw))
 
-    events.sort(key=lambda e: (e[0], e[1]))
+    # --- continuous GPS stream above scan rate (bursts) ---
+    if gps and gps_rate_hz > 0:
+        n_fix = int((rel_ts[-1] - rel_ts[0]) * gps_rate_hz) + 1
+        fix_rel = rel_ts[0] + np.arange(n_fix) / gps_rate_hz
+        k = 0
+        for trel in fix_rel:
+            jammed = gps_jam is not None and gps_jam[0] <= trel < gps_jam[1]
+            if jammed:
+                continue
+            # linear pose interpolation between bracketing scans
+            j = int(np.clip(np.searchsorted(rel_ts, trel) - 1, 0,
+                            n_scans - 2))
+            a = (trel - rel_ts[j]) / max(rel_ts[j + 1] - rel_ts[j], 1e-9)
+            pos = (1 - a) * poses[j, 3:6] + a * poses[j + 1, 3:6]
+            enu = pos.astype(np.float64) + rs.randn(3) * np.sqrt(gps_cov) * 0.2
+            lat, lon, alt = geo.reverse(enu)
+            cov = np.zeros(9)
+            k += 1
+            bad = gps_bad_cov_every and (k % gps_bad_cov_every == 0)
+            cov[0] = cov[4] = cov[8] = 100.0 if bad else gps_cov
+            ts = epoch + float(trel)
+            raw = rb.encode_navsatfix(ts, float(lat), float(lon), float(alt),
+                                      cov=cov)
+            events.append((ts, 2, gps_topic, "sensor_msgs/NavSatFix", raw))
+
+    if shuffle_window > 0:
+        # out-of-order ARRIVAL: jitter only the write-order key; header
+        # stamps stay truthful (how a loaded DDS/TCPROS graph actually
+        # misorders messages)
+        events.sort(key=lambda e: (
+            e[0] + rs.uniform(-shuffle_window, shuffle_window), e[1]))
+    else:
+        events.sort(key=lambda e: (e[0], e[1]))
     for stamp, _, topic, mtype, raw in events:
         writer.write(topic, mtype, raw, stamp)
     writer.close()

@@ -61,6 +61,25 @@ def _init_cov(dtype=jnp.float32) -> jax.Array:
     return jnp.diag(d.astype(dtype))
 
 
+@jax.jit
+def reinitialize(state: ImuFrontendState,
+                 lidar_pose6: "jax.Array") -> ImuFrontendState:
+    """Re-anchor after a correction gap (IMU dropout / stalled stream):
+    pose from the mapping result, velocity zeroed, biases kept, fresh
+    covariance.  A NORMAL correction after a gap mis-attributes the large
+    position innovation to velocity (the filter's propagated time is only
+    the visible window, not the real gap) and the inflated velocity then
+    feeds registration guesses that confirm it — the runaway the reference
+    breaks with resetParams (imuPreintegration.cpp:437-442, 496-516)."""
+    Rm, pm = se3.pose6_to_Rt(lidar_pose6)
+    return ImuFrontendState(
+        nav=pre.NavState(R=Rm, p=pm, v=jnp.zeros(3, pm.dtype)),
+        bias_gyr=state.bias_gyr, bias_acc=state.bias_acc,
+        cov=_init_cov(pm.dtype),
+        initialized=jnp.ones((), bool),
+        failure=jnp.zeros((), bool))
+
+
 def make_frontend(cfg: ImuConfig):
     g = cfg.gravity
 

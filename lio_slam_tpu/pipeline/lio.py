@@ -196,7 +196,13 @@ def _add_gps_factor(state: LioState, inp: ScanInput, new_idx: jax.Array,
     return state._replace(
         graph=g,
         gps_count=state.gps_count + add.astype(jnp.int32),
-        last_gps_pos=jnp.where(add, cur_pos, state.last_gps_pos))
+        last_gps_pos=jnp.where(add, cur_pos, state.last_gps_pos),
+        # addGPSFactor sets aLoopIsClosed (:2037) — a GPS factor triggers
+        # the same full correction + map-cache refresh as a loop closure.
+        # Without this, window-solve pose corrections leave ghost geometry
+        # in the incremental voxel map (keyframe clouds inserted at their
+        # pre-correction poses) and later scans register against it.
+        loop_closed=state.loop_closed | add)
 
 
 def _consume_pending_loops(state: LioState, cfg: Config) -> LioState:

@@ -36,8 +36,16 @@ class _PySampleQueue:
         self._vals: list[np.ndarray] = []
 
     def push(self, t: float, vals) -> None:
-        self._ts.append(float(t))
-        self._vals.append(np.asarray(vals, np.float32))
+        """Sorted-insert with duplicate-stamp drop (matches the native
+        queue's hostile-stream tolerance: locally out-of-order and
+        duplicated messages are a fact of real vehicle logs)."""
+        import bisect
+        t = float(t)
+        pos = bisect.bisect_right(self._ts, t)
+        if pos > 0 and self._ts[pos - 1] == t:
+            return                              # duplicate
+        self._ts.insert(pos, t)
+        self._vals.insert(pos, np.asarray(vals, np.float32))
         if len(self._ts) > self.capacity:
             del self._ts[0], self._vals[0]
 
@@ -92,6 +100,7 @@ class LiveFeed:
             self.IMU_DIM, imu_capacity, use_native)
         self._pending: Optional[formats.StandardScan] = None
         self._last_scan_stamp: Optional[float] = None
+        self._last_pushed_scan: Optional[float] = None
         # corrected-GPS queue: every fix is kept and scanned per keyframe
         # within +-0.2 s, the reference's gpsQueue semantics
         # (addGPSFactor, mapOptmization.cpp:1961-1976) — round 2 kept only
@@ -131,6 +140,14 @@ class LiveFeed:
         return self.runner.on_raw_gps(t, lat, lon, alt, heading=heading)
 
     def push_scan(self, scan: formats.StandardScan):
+        # non-increasing scan stamps = duplicated or misordered lidar
+        # messages — dropped (the mapping step's state is strictly forward
+        # in time; the reference would process the duplicate and emit a
+        # zero-motion step)
+        if (self._last_pushed_scan is not None
+                and float(scan.stamp) <= self._last_pushed_scan):
+            return None
+        self._last_pushed_scan = float(scan.stamp)
         if self._pending is None:
             self._pending = scan
             return None

@@ -109,6 +109,8 @@ class Runner:
         self._fuse_train = jax.jit(jax.vmap(self.transform_fusion,
                                             in_axes=(None, None, 0)))
         self.local_map_fn, self.height_map_fn = outputs.make_local_map_fn(self.cfg)
+        # fresh-buffer snapshot of the post-correction pose (see process_scan)
+        self._pose_copy = jax.jit(lambda p: p + 0.0)
         self.state = lio.init_state(self.cfg)
         self.imu_state = fe.init_state()
         self.gps_intake = gf.GpsIntake(self.cfg.gps)
@@ -125,6 +127,8 @@ class Runner:
         # correction, incl. across failure resets) — reading the device flag
         # per scan would cost a blocking transfer
         self._imu_ready = False
+        # mission time of the last front-end correction (staleness gate)
+        self._last_correct_t: Optional[float] = None
         # last raw vehicle GPS record (lat, lon, alt, heading?) — the
         # "gpsdata" side of the sensor_fusion_output arbitration (:707-724)
         self._last_raw_fix: Optional[tuple] = None
@@ -288,9 +292,17 @@ class Runner:
             cloud, corner = self._prep(xyz_p, t_p, mask_p, ring_p, gyr,
                                        rel_t, imask, np.bool_(have_imu))
 
-        # initial guess from the IMU front-end (odometry/imu_incremental role)
+        # initial guess from the IMU front-end (odometry/imu_incremental
+        # role).  Staleness gate (odomDeskewInfo :420-500 requires odometry
+        # messages BRACKETING the scan; a stalled preint node means
+        # odomAvailable=false and the fallback path): predicting across an
+        # IMU dropout from a state corrected several scans ago produces a
+        # guess far worse than holding the last mapping pose.
+        stale = (self._last_correct_t is not None
+                 and (t - self._last_correct_t)
+                 > self.cfg.imu.max_correction_age)
         fused_rate = None
-        if self._imu_ready and have_imu:
+        if self._imu_ready and have_imu and not stale:
             rate_poses = self.predict_rate(self.imu_state, acc, gyr, dts,
                                            imask_corr)
             guess = rate_poses[-1]
@@ -348,7 +360,11 @@ class Runner:
                           <= cfg.gps.gps_cov_threshold)
                 if obs is not None and obs.accurate and cov_ok and not gps_valid:
                     gps_pos = obs.enu.astype(np.float32)
-                    gps_info = (1.0 / np.maximum(obs.covariance, 1e-3)) \
+                    # factor variances floored at 1.0 m^2 exactly like the
+                    # reference (Vector3 << max(noise_x, 1.0f)...,
+                    # addGPSFactor :2030) — GPS softly anchors the global
+                    # frame; stiffer factors overfit datum/fix noise
+                    gps_info = (1.0 / np.maximum(obs.covariance, 1.0)) \
                         .astype(np.float32)
                     gps_valid = True
 
@@ -394,22 +410,46 @@ class Runner:
             gps_valid=np.bool_(gps_valid), corner=corner)
         with self.timer.stage("mapping_step"):
             self.state, out = self.step(self.state, inp)
-        self._last_pose_dev = out.pose
 
-        # IMU front-end correction with the mapping result (out.pose stays
-        # ON DEVICE — the chain runs async; nothing blocks yet)
-        if have_imu:
-            with self.timer.stage("imu_frontend"):
-                self.imu_state = self.correct(self.imu_state, acc, gyr, dts,
-                                              imask_corr, out.pose,
-                                              out.degenerate)
-            self._imu_ready = True
-
-        # full-graph correction when the step consumed loop factors — gated
-        # ON DEVICE (lax.cond on needs_full_solve), so no host read is
-        # needed to decide
+        # full-graph correction when the step consumed loop/GPS factors —
+        # gated ON DEVICE (lax.cond on needs_full_solve), so no host read
+        # is needed to decide.  It runs BEFORE the front-end correction so
+        # the front-end is re-anchored in the CORRECTED frame: correcting
+        # it with the pre-correction pose lets the front-end frame and the
+        # map frame drift apart scan over scan (each GPS correction moves
+        # the map; the front-end keeps predicting in the stale frame and
+        # mis-guides the next registration — a positive feedback that
+        # diverges).  The reference orders the same way: publishOdometry /
+        # the preint priors consume transformTobeMapped AFTER correctPoses
+        # (laserCloudInfoHandler call order, mapOptmization.cpp:432-506).
         with self.timer.stage("full_correction"):
             self.state = self.full_correct(self.state)
+        # snapshot through a separate jitted copy: state.pose aliases a
+        # buffer the NEXT step call donates — holding it raw would poison
+        # every later use (fuse train, deferred fetch, map products) with a
+        # donated-buffer error
+        pose_dev = self._pose_copy(self.state.pose)
+        self._last_pose_dev = pose_dev
+
+        # IMU front-end correction with the (corrected) mapping result —
+        # pose stays ON DEVICE; the chain runs async, nothing blocks yet
+        if have_imu:
+            with self.timer.stage("imu_frontend"):
+                if stale and self._imu_ready:
+                    # correction gap: re-anchor instead of correcting — a
+                    # normal update across the gap mis-attributes the
+                    # position innovation to velocity (the filter only sees
+                    # the visible window's duration) and the inflated
+                    # velocity feeds guesses that registration then
+                    # confirms — the runaway the reference breaks with
+                    # resetParams (imuPreintegration.cpp:437-442)
+                    self.imu_state = fe.reinitialize(self.imu_state, pose_dev)
+                else:
+                    self.imu_state = self.correct(self.imu_state, acc, gyr,
+                                                  dts, imask_corr, pose_dev,
+                                                  out.degenerate)
+            self._imu_ready = True
+            self._last_correct_t = t
 
         # loop-closure cadence (the reference's 0.2-1 Hz thread)
         self.scan_count += 1
@@ -423,7 +463,9 @@ class Runner:
         # Per-field np.asarray()/bool() calls each cost a device round trip
         # — over the tunneled TPU that is ~40 ms apiece and dominated the
         # whole pipeline (VERDICT #10's runner-level number).
-        fetch = {"pose": out.pose, "incremental": out.incremental,
+        # the published pose is POST-correction (publishOdometry consumes
+        # transformTobeMapped after correctPoses)
+        fetch = {"pose": pose_dev, "incremental": out.incremental,
                  "degenerate": out.degenerate, "is_keyframe": out.is_keyframe,
                  "num_inliers": out.num_inliers, "evictions": out.evictions}
         if have_imu:

@@ -137,8 +137,24 @@ int sq_push(void* h, double t, const float* vals) {
             q->end = n - 1;
         }
     }
-    q->ts[q->end] = t;
-    std::memcpy(q->vals.data() + q->end * q->dim, vals,
+    // Hostile-stream tolerance: real vehicle logs contain locally
+    // out-of-order and duplicated messages (loaded TCPROS graphs misorder;
+    // recorders duplicate).  A late sample is inserted at its sorted
+    // position (jitter is local, so the shift is a few records); an exact
+    // duplicate of an existing timestamp is dropped — the window contract
+    // (sorted, unique) holds for deskew/preintegration downstream.
+    size_t pos = q->end;
+    while (pos > q->begin && q->ts[pos - 1] > t) pos--;
+    if (pos > q->begin && q->ts[pos - 1] == t) return 0;   // duplicate
+    if (pos < q->end) {
+        std::memmove(q->ts.data() + pos + 1, q->ts.data() + pos,
+                     (q->end - pos) * sizeof(double));
+        std::memmove(q->vals.data() + (pos + 1) * q->dim,
+                     q->vals.data() + pos * q->dim,
+                     (q->end - pos) * q->dim * sizeof(float));
+    }
+    q->ts[pos] = t;
+    std::memcpy(q->vals.data() + pos * q->dim, vals,
                 q->dim * sizeof(float));
     q->end++;
     return 0;

@@ -103,12 +103,14 @@ def loop_replay(loop_bag):
     return runner, results, truth
 
 
+@pytest.mark.slow
 def test_bag_replay_processes_all_scans(loop_replay):
     runner, results, truth = loop_replay
     assert len(results) == len(truth.stamps)
     assert int(runner.state.store.count) >= 30
 
 
+@pytest.mark.slow
 def test_bag_replay_ate(loop_replay):
     runner, results, truth = loop_replay
     est = np.stack([r.pose for r in results])
@@ -118,6 +120,7 @@ def test_bag_replay_ate(loop_replay):
     assert ate < 0.5, f"bag-replay ATE {ate:.3f} m"
 
 
+@pytest.mark.slow
 def test_bag_replay_loop_closes(loop_replay):
     """The circular mission revisits its start after >30 s: the loop detector
     must fire on epoch-stamped data (the f32 bug made this gate impossible)."""
@@ -125,6 +128,7 @@ def test_bag_replay_loop_closes(loop_replay):
     assert int(runner.state.loop_count) >= 1
 
 
+@pytest.mark.slow
 def test_bag_replay_deskew_active(loop_replay):
     """The bag carries rotational in-sweep skew; the pipeline must have used
     the IMU window (imu_rate_poses present on every scan after the first)."""
@@ -159,6 +163,9 @@ def test_bag_replay_gps_covariance_gating(tmp_path):
     # fixes, and the information stored for accepted factors reflects 0.25
     g = runner.state.graph
     infos = np.asarray(g.gps_info)[np.asarray(g.gps_mask)]
-    assert np.all(infos[:, :2] >= 1.0 / 0.3), \
+    # the reference floors factor variances at 1.0 m^2 (addGPSFactor :2030),
+    # so good fixes (cov 0.25) land at info exactly 1.0; a bad fix (cov 100,
+    # info 0.01) would only appear here if the covariance gate leaked it
+    assert np.all(infos[:, :2] >= 0.99), \
         "accepted GPS factors must carry the good-fix information"
     assert runner.gps_intake.datum is not None

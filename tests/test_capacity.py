@@ -11,6 +11,7 @@ the count through StepOutput.evictions / Runner.health().
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lio_slam_tpu.config import (Config, GpsConfig, KeyframeConfig,
                                  RegistrationConfig, StaticConfig)
@@ -137,6 +138,26 @@ def test_prior_rebase_anchors_survivor():
     # within 2x of the original prior variances (sum adds the tiny bt var)
     assert (prior_var <= 2.05 * orig_var + 1e-3).all()
     assert (prior_var >= 0.999 * orig_var - 1e-3).all()
+
+
+@pytest.mark.slow
+def test_long_mission_soak():
+    """Endurance: a mission ~5x the store capacity (the reference's field
+    logs run 895 s unbounded, README.md:232-239).  Eviction churn must not
+    degrade consistency or accumulate drift."""
+    cfg = tiny_config(max_keyframes=24)
+    seq, state, outs = run_mission(cfg, n_scans=120)
+    assert int(state.evict_count) >= 90
+    assert_graph_consistent(state, cfg)
+    est = np.stack([np.asarray(o.pose) for o in outs])
+    rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                                 jnp.asarray(p)))
+                    for p in seq.poses])
+    ate = synthetic.ate_rmse(est, rel)
+    assert ate < 0.5, f"soak drift {ate:.3f} m"
+    res = solver.solve(state.graph, state.graph.pose_mask, iterations=3)
+    assert np.isfinite(np.asarray(res.graph.poses)).all()
+    assert float(res.chi2) < 1.0
 
 
 def test_gps_slot_ring_recycles_oldest():

@@ -13,6 +13,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# full corner/relocalization e2e is minutes-scale on 2 CPU cores; the
+# fast default suite keeps unit-level coverage (run with -m "")
+pytestmark = pytest.mark.slow
+
 from lio_slam_tpu.config import (Config, LidarConfig, RegistrationConfig,
                                  StaticConfig)
 from lio_slam_tpu.io import formats, synthetic

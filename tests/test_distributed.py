@@ -18,6 +18,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from lio_slam_tpu.graph import solver
 from tests.graph_fixtures import make_chain_fixture
@@ -34,6 +35,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_pod_matches_single(tmp_path):
     out = str(tmp_path / "out.npz")
     port = _free_port()
