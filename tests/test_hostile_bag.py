@@ -53,6 +53,7 @@ def hostile_replay(hostile_bag):
     return runner, results, truth
 
 
+@pytest.mark.slow
 def test_hostile_bag_replays_every_scan(hostile_replay):
     runner, results, truth = hostile_replay
     assert len(results) == N_SCANS
@@ -60,6 +61,7 @@ def test_hostile_bag_replays_every_scan(hostile_replay):
     assert not runner.mapping_error
 
 
+@pytest.mark.slow
 def test_hostile_bag_trajectory_tracks(hostile_replay):
     """Bounded error despite the dropout + disorder.  The GPS datum is
     averaged over the first fixes WHILE MOVING (reference first-fix
@@ -79,6 +81,7 @@ def test_hostile_bag_trajectory_tracks(hostile_replay):
     assert raw < 2.5, f"hostile-bag raw ATE {raw:.3f} m (runaway?)"
 
 
+@pytest.mark.slow
 def test_hostile_bag_imu_dropout_visible(hostile_replay):
     """Scans inside the (8 s, 11 s) dropout ran without an IMU window; scans
     outside it kept the IMU-rate stream."""
@@ -90,6 +93,7 @@ def test_hostile_bag_imu_dropout_visible(hostile_replay):
     assert any(r.imu_rate_poses is not None for r in out_gap)
 
 
+@pytest.mark.slow
 def test_hostile_bag_gps_burst_feeds_queue(hostile_replay):
     """10 Hz GPS against 1 Hz scans: the full stream reaches the intake (the
     5-fix datum averaging completes within the first scan's window) and

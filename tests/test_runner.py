@@ -86,6 +86,27 @@ def test_products_and_checkpoint(tmp_path, seq):
     assert np.isfinite(out.pose).all()
 
 
+def test_imu_dropout_reanchor_no_runaway(seq):
+    """Regression: an IMU dropout mid-mission must not inflate the
+    front-end's velocity estimate.  Before the re-anchor fix, the first
+    correction after the gap attributed the whole position innovation to
+    velocity and the runaway guesses dragged registration off the map
+    (~8 m/scan divergence on the hostile bag)."""
+    cfg = small_cfg()
+    runner = Runner(cfg, loop_every=100)
+    for i in range(8):
+        # scans 3-5: dropout (no IMU window at all)
+        imu = (imu_between(seq, i, cfg.imu.gravity)
+               if i and not 3 <= i <= 5 else None)
+        out = runner.process_scan(scan_at(seq, i), imu=imu)
+    rel = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                       jnp.asarray(seq.poses[7])))
+    # seq moves 0.2 m/scan: even navigating the gap on hold-pose guesses the
+    # mission must recover to sub-0.2 m by the end, not run away
+    assert np.abs(out.pose[3:] - rel[3:]).max() < 0.2, (out.pose, rel)
+    assert not runner.mapping_error
+
+
 def test_auto_checkpoint_crash_resume(tmp_path, seq):
     """Respawn-parity recovery (module_loam.launch:5-8 respawn="true"): a
     mission with periodic auto-checkpoints is killed mid-run; `Runner.resume`
