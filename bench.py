@@ -98,14 +98,19 @@ def bench_device_replay(n_scans: int):
             return st, out.pose
         return jax.lax.scan(body, state, batched)
 
+    # fresh-state reset as ONE jitted program: eager init_state creates ~30
+    # leaf arrays = ~30 eager dispatches, each a full round trip over the
+    # device tunnel (measured minutes of pure RTT when the tunnel is slow)
+    fresh = jax.jit(lambda: lio.init_state(cfg))
+
     # compile + warmup run
-    state = lio.init_state(cfg)
-    state, poses = jax.block_until_ready(replay(state, batched))
+    state, poses = jax.block_until_ready(replay(fresh(), batched))
+    note("replay compiled + warm")
     # timed: best of 3 fresh-state replays (the device tunnel adds run-to-run
     # jitter; best-of reports the machine's capability, not the noise)
     elapsed = float("inf")
     for _ in range(3):
-        state = lio.init_state(cfg)
+        state = fresh()
         t0 = time.time()
         state, poses = jax.block_until_ready(replay(state, batched))
         elapsed = min(elapsed, time.time() - t0)
@@ -143,6 +148,10 @@ def bench_runner(n_scans: int, warmup: int, deadline: float) -> dict:
                                   speed=2.0)
     t_start = None
     timed_done = 0
+    if time.time() > deadline - 90:
+        # a first process_scan compiles several programs and cannot be
+        # interrupted once started — don't begin what can't finish
+        return {"runner_error": "insufficient budget before first scan"}
     for i in range(n_scans):
         if time.time() > deadline and t_start is None and i > 0:
             return {"runner_error": f"budget hit during warmup (scan {i})"}
@@ -274,7 +283,7 @@ def main():
     except Exception as e:                      # never break the bench line
         extra["runner_error"] = f"{type(e).__name__}: {e}"[:200]
     emit({**headline, **extra})
-    if time.time() > deadline - 30:
+    if time.time() > deadline - 60:
         note("budget exhausted before sparse-backend part")
         return
     try:

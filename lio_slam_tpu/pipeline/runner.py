@@ -129,6 +129,8 @@ class Runner:
         self._imu_ready = False
         # mission time of the last front-end correction (staleness gate)
         self._last_correct_t: Optional[float] = None
+        # whether needs_full_solve could possibly be set (see process_scan)
+        self._full_correct_armed = False
         # last raw vehicle GPS record (lat, lon, alt, heading?) — the
         # "gpsdata" side of the sensor_fusion_output arbitration (:707-724)
         self._last_raw_fix: Optional[tuple] = None
@@ -422,8 +424,16 @@ class Runner:
         # diverges).  The reference orders the same way: publishOdometry /
         # the preint priors consume transformTobeMapped AFTER correctPoses
         # (laserCloudInfoHandler call order, mapOptmization.cpp:432-506).
+        # `needs_full_solve` can only be set once a loop detector has run or
+        # a GPS candidate reached the step — until then the call (and its
+        # expensive compile: full-graph solve + map rebuild) is skipped
+        # entirely; once armed it stays armed (queued loop constraints are
+        # consumed at a LATER keyframe save)
+        if gps_valid:
+            self._full_correct_armed = True
         with self.timer.stage("full_correction"):
-            self.state = self.full_correct(self.state)
+            if self._full_correct_armed:
+                self.state = self.full_correct(self.state)
         # snapshot through a separate jitted copy: state.pose aliases a
         # buffer the NEXT step call donates — holding it raw would poison
         # every later use (fuse train, deferred fetch, map products) with a
@@ -457,6 +467,7 @@ class Runner:
                 self.scan_count % self.loop_every == 0):
             with self.timer.stage("loop_closure"):
                 self.state = self.detector(self.state)
+            self._full_correct_armed = True
 
         # Queue every scalar/array the host needs from this step; the
         # blocking transfer happens once per `fetch_every` scans (drain).
@@ -646,6 +657,9 @@ class Runner:
             self._imu_ready = bool(imu_state.initialized)
         self.scan_count = int(meta.get("scan_count", 0))
         self.keyframe_evictions = int(self.state.evict_count)
+        # the restored state may carry queued loop constraints or a pending
+        # needs_full_solve — arm conservatively
+        self._full_correct_armed = True
         t0 = float(meta.get("t0", float("nan")))
         self._t0 = None if np.isnan(t0) else t0
         self._last_processed_stamp = float(meta.get("last_stamp", -1e18))

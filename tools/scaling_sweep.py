@@ -67,14 +67,18 @@ def main():
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     real_scaling = args.backend == "tpu" and n_dev > 1
 
-    def timeit(fn, reps=3):
+    def timeit(fn, reps=7):
+        """Median of 7 (matches __graft_entry__.dryrun_multichip): single
+        reps on shared/virtual silicon swung x1.2..x2.8 between runs
+        (round-2 verdict weak #3) — a gating metric needs a robust center."""
+        import statistics
         jax.block_until_ready(fn())
-        best = float("inf")
+        ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             jax.block_until_ready(fn())
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
 
     results = {"register": [], "full_step": []}
 
