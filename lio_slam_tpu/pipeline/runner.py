@@ -710,7 +710,11 @@ def _run_synthetic(args):
     from lio_slam_tpu.io import synthetic
     cfg = get_config(args.preset)
     runner = Runner(cfg, loop_every=args.loop_every,
-                    record_bag=args.record_bag, mission_log=args.mission_log)
+                    record_bag=args.record_bag, mission_log=args.mission_log,
+                    auto_checkpoint=args.auto_checkpoint,
+                    checkpoint_every=args.checkpoint_every)
+    if args.resume_from:
+        runner.load_checkpoint(args.resume_from)
     seq = synthetic.make_sequence(n_scans=args.scans, n_points=args.points,
                                   seed=args.seed)
     t0 = time.time()
@@ -770,7 +774,11 @@ def _run_bag(args):
 
     cfg = get_config(args.preset)
     runner = Runner(cfg, loop_every=args.loop_every,
-                    record_bag=args.record_bag, mission_log=args.mission_log)
+                    record_bag=args.record_bag, mission_log=args.mission_log,
+                    auto_checkpoint=args.auto_checkpoint,
+                    checkpoint_every=args.checkpoint_every)
+    if args.resume_from:
+        runner.load_checkpoint(args.resume_from)
     topics = BagTopics(lidar=args.lidar_topic, imu=args.imu_topic,
                        gps=args.gps_topic, sensor=args.sensor)
     t0 = time.time()
@@ -826,6 +834,13 @@ def main():
                     help="print the per-stage timing report at the end")
     ap.add_argument("--mission-log", default=None,
                     help="write a per-step structured JSONL mission log")
+    ap.add_argument("--auto-checkpoint", default=None,
+                    help="periodic crash-recovery checkpoint path "
+                         "(respawn parity; resume with --resume-from)")
+    ap.add_argument("--checkpoint-every", type=int, default=50,
+                    help="scans between auto checkpoints")
+    ap.add_argument("--resume-from", default=None,
+                    help="restore a checkpoint before the mission starts")
     args = ap.parse_args()
     if args.bag:
         _run_bag(args)

@@ -9,6 +9,7 @@ gracefully or fail loudly; we evict (ring buffer + prior rebase) and surface
 the count through StepOutput.evictions / Runner.health().
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -138,6 +139,62 @@ def test_prior_rebase_anchors_survivor():
     # within 2x of the original prior variances (sum adds the tiny bt var)
     assert (prior_var <= 2.05 * orig_var + 1e-3).all()
     assert (prior_var >= 0.999 * orig_var - 1e-3).all()
+
+
+def test_eviction_remaps_loop_and_gps_factors():
+    """_evict_oldest index bookkeeping: loop/GPS factors keep pointing at
+    the same physical keyframes after the shift; factors touching the
+    evicted pose are dropped (their constraint is absorbed into the rebased
+    prior)."""
+    cfg = tiny_config(max_keyframes=8)
+    state = lio.init_state(cfg)
+    K = 8
+    poses = np.zeros((K, 6), np.float32)
+    poses[:, 3] = np.arange(K, dtype=np.float32)
+    g = state.graph
+    # full chain 0..7 + a loop factor (2 <-> 5) in the loop region + GPS@1
+    bt_i = np.asarray(g.bt_i).copy(); bt_j = np.asarray(g.bt_j).copy()
+    bt_mask = np.asarray(g.bt_mask).copy()
+    bt_i[:K - 1] = np.arange(K - 1); bt_j[:K - 1] = np.arange(1, K)
+    bt_mask[:K - 1] = True
+    loop_slot = K - 1
+    bt_i[loop_slot], bt_j[loop_slot], bt_mask[loop_slot] = 2, 5, True
+    g = g._replace(
+        poses=jnp.asarray(poses), pose_mask=jnp.ones(K, bool),
+        bt_i=jnp.asarray(bt_i), bt_j=jnp.asarray(bt_j),
+        bt_mask=jnp.asarray(bt_mask),
+        gps_i=g.gps_i.at[0].set(1), gps_mask=g.gps_mask.at[0].set(True),
+        prior_info=jnp.asarray(
+            np.asarray(lio.F.info_from_variances(cfg.keyframe.prior_sigmas))))
+    store = state.store._replace(poses=jnp.asarray(poses),
+                                 stamps=jnp.arange(K, dtype=jnp.float32),
+                                 count=jnp.int32(K))
+    state = state._replace(graph=g, store=store,
+                           sc_db=state.sc_db._replace(count=jnp.int32(K)))
+
+    evicted = jax.jit(lio._evict_oldest)(state)
+    assert int(evicted.store.count) == K - 1
+    eg = evicted.graph
+    # chain re-established: slot i = factor i -> i+1 over the survivors
+    for i in range(K - 2):
+        assert bool(eg.bt_mask[i]) and int(eg.bt_i[i]) == i \
+            and int(eg.bt_j[i]) == i + 1
+    assert not bool(eg.bt_mask[K - 2])          # vacated for the next save
+    # loop factor follows its keyframes: (2,5) -> (1,4)
+    assert bool(eg.bt_mask[loop_slot])
+    assert int(eg.bt_i[loop_slot]) == 1 and int(eg.bt_j[loop_slot]) == 4
+    # GPS factor @1 -> @0
+    assert bool(eg.gps_mask[0]) and int(eg.gps_i[0]) == 0
+    # prior re-anchored on the survivor (old pose 1)
+    np.testing.assert_allclose(np.asarray(eg.prior_pose), poses[1], atol=1e-6)
+
+    # two more evictions: GPS@0 dropped, loop (1,4)->(0,3) then dropped
+    ev2 = jax.jit(lio._evict_oldest)(evicted)
+    assert not bool(ev2.graph.gps_mask[0])
+    assert bool(ev2.graph.bt_mask[loop_slot])
+    assert int(ev2.graph.bt_i[loop_slot]) == 0 and int(ev2.graph.bt_j[loop_slot]) == 3
+    ev3 = jax.jit(lio._evict_oldest)(ev2)
+    assert not bool(ev3.graph.bt_mask[loop_slot])
 
 
 @pytest.mark.slow
