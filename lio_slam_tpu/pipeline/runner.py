@@ -593,6 +593,9 @@ class Runner:
         (visualizeGlobalMapThread :981-989 saves at exit when savePCD) and
         flush the output bag."""
         self.drain()
+        if self._auto_checkpoint is not None and self.scan_count:
+            # clean shutdown leaves the freshest state for resume
+            self.save_checkpoint(self._auto_checkpoint)
         result = None
         if self.cfg.output.save_pcd and int(self.state.store.count) > 0:
             result = self.save_map(self.cfg.output.save_directory,
