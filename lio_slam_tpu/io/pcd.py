@@ -29,16 +29,28 @@ DATA {data}
 
 
 def save_pcd(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None,
-             binary: bool = True) -> None:
+             binary: bool = True,
+             extra_fields: dict | None = None) -> None:
+    """extra_fields: ordered {name: (N,) array} of additional float32 fields
+    appended after intensity — used for the 6-DoF keyframe-pose export
+    (PointTypePose x/y/z/intensity/roll/pitch/yaw/time,
+    mapOptmization.cpp:928-932 `transformations.pcd`)."""
     xyz = np.asarray(xyz, np.float32)
     n = xyz.shape[0]
+    cols = [xyz]
+    names = ["x", "y", "z"]
     if intensity is not None:
-        intensity = np.asarray(intensity, np.float32).reshape(n, 1)
-        data = np.concatenate([xyz, intensity], axis=1)
-        fields, sizes, types, counts = "x y z intensity", "4 4 4 4", "F F F F", "1 1 1 1"
-    else:
-        data = xyz
-        fields, sizes, types, counts = "x y z", "4 4 4", "F F F", "1 1 1"
+        cols.append(np.asarray(intensity, np.float32).reshape(n, 1))
+        names.append("intensity")
+    for k, v in (extra_fields or {}).items():
+        cols.append(np.asarray(v, np.float32).reshape(n, 1))
+        names.append(k)
+    data = np.concatenate(cols, axis=1) if len(cols) > 1 else xyz
+    m = len(names)
+    fields = " ".join(names)
+    sizes = " ".join(["4"] * m)
+    types = " ".join(["F"] * m)
+    counts = " ".join(["1"] * m)
     header = _HEADER.format(fields=fields, sizes=sizes, types=types,
                             counts=counts, n=n,
                             data="binary" if binary else "ascii")

