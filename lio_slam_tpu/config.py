@@ -221,6 +221,16 @@ class LoopClosureConfig:
     sc_exclude_recent: int = 30           # NUM_EXCLUDE_RECENT
     sc_search_ratio: float = 0.1          # ±10% column-shift search
     sc_tree_refresh: int = 10             # rebuild retrieval index every N inserts
+    # host-spill keyframe archive ("never-forget" loop memory): the
+    # reference's iSAM2 graph and Scan Context DB grow without bound
+    # (mapOptmization.cpp:2097-2134, Scancontext.cpp:253-296), so lap-100
+    # still closes loops against lap-1.  The device store is fixed-capacity;
+    # with the archive enabled, evicted keyframes' clouds + SC descriptors
+    # spill to host RAM and retrieval runs over the FULL history — on a
+    # match the archived submap is re-promoted to device for ICP
+    # verification and the constraint anchors to the rebased prior frame.
+    archive_enabled: bool = True
+    archive_cooldown_s: float = 15.0      # min mission seconds between archive-loop injections
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,186 @@
+"""Host-spill keyframe archive: never-forget loop memory across eviction.
+
+Covers the round-3 verdict's top item: the reference keeps its keyframe
+history and Scan Context candidacy forever (mapOptmization.cpp:2097-2134,
+Scancontext.cpp:253-296); the archive tier must preserve that behavior once
+the device store ring-evicts.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lio_slam_tpu.config import (Config, KeyframeConfig, LoopClosureConfig,
+                                 RegistrationConfig, StaticConfig)
+from lio_slam_tpu.io import formats, synthetic
+from lio_slam_tpu.pipeline import archive as arch_mod
+from lio_slam_tpu.pipeline.runner import Runner
+from lio_slam_tpu.utils import se3
+
+
+def _mk_archive(n=10, evicted=6, seed=0):
+    rs = np.random.RandomState(seed)
+    a = arch_mod.KeyframeArchive(num_ring=4, num_sector=8)
+    descs = rs.rand(n, 4, 8).astype(np.float32) + 0.1
+    for i in range(n):
+        pose = np.array([0, 0, 0, float(i), 0, 0], np.float32)
+        cloud = rs.randn(50, 3).astype(np.float32)
+        a.add(i, pose, stamp=float(i), cloud=cloud, descriptor=descs[i])
+    a.evict_count = evicted
+    return a, descs
+
+
+class TestArchiveCore:
+    def test_add_requires_order(self):
+        a, _ = _mk_archive(3, 0)
+        with pytest.raises(ValueError):
+            a.add(5, np.zeros(6), 0.0, np.zeros((1, 3)), np.zeros((4, 8)))
+        a.add(1, np.zeros(6), 0.0, np.zeros((1, 3)), np.zeros((4, 8)))  # dup ok
+        assert len(a) == 3
+
+    def test_match_finds_evicted_twin(self):
+        a, descs = _mk_archive(10, evicted=6)
+        # make the newest descriptor a twin of evicted gid 2
+        a.descriptors[-1] = descs[2].copy()
+        a._ring_keys[-1] = descs[2].mean(axis=-1)
+        hit = a.match(now=9.0, time_diff=3.0, dist_thresh=0.2)
+        assert hit is not None
+        gid, yaw, dist = hit
+        assert gid == 2
+        assert dist < 1e-5
+        assert abs(yaw) < 1e-6
+
+    def test_match_respects_eviction_boundary_and_time(self):
+        a, descs = _mk_archive(10, evicted=6)
+        # twin of a LIVE keyframe (gid 7) — live retrieval is the device
+        # detector's job, the archive must not match it
+        a.descriptors[-1] = descs[7].copy()
+        a._ring_keys[-1] = descs[7].mean(axis=-1)
+        hit = a.match(now=9.0, time_diff=3.0, dist_thresh=0.05)
+        assert hit is None
+        # time gate: twin of gid 5 but too recent
+        a.descriptors[-1] = descs[5].copy()
+        a._ring_keys[-1] = descs[5].mean(axis=-1)
+        assert a.match(now=9.0, time_diff=100.0, dist_thresh=0.05) is None
+
+    def test_match_yaw_convention(self):
+        """A query that is the candidate column-rolled matches
+        ops/scancontext.detect's yaw sign."""
+        from lio_slam_tpu.ops import scancontext as sc
+        a, descs = _mk_archive(10, evicted=6)
+        shift = 2
+        rolled = np.roll(descs[2], shift, axis=-1)
+        a.descriptors[-1] = rolled
+        a._ring_keys[-1] = rolled.mean(axis=-1)
+        gid, yaw, _ = a.match(now=9.0, time_diff=3.0, dist_thresh=0.2)
+        assert gid == 2
+        # device-side reference answer
+        db = sc.empty_db(10, 4, 8)
+        for i in range(7):
+            db = sc.add_descriptor(db, jnp.asarray(descs[i]))
+        m = sc.detect(db, jnp.asarray(rolled), dist_threshold=0.2,
+                      num_candidates=3, exclude_recent=4)
+        assert int(m.index) == 2
+        assert yaw == pytest.approx(float(m.yaw), abs=1e-5)
+
+    def test_refresh_live_poses(self):
+        a, _ = _mk_archive(10, evicted=6)
+        live = np.tile(np.array([0, 0, 0, 0, 99.0, 0], np.float32), (4, 1))
+        a.refresh_live_poses(6, live, 4)
+        assert a.poses[7][4] == 99.0
+        assert a.poses[5][4] == 0.0          # evicted pose frozen
+
+    def test_submap_world_frame(self):
+        a, _ = _mk_archive(10, evicted=6)
+        pts = a.submap(2, search_num=1, max_points=1000)
+        # 3 keyframes x 50 points, translated by their poses
+        assert pts.shape == (150, 3)
+        assert abs(pts[:, 0].mean() - 2.0) < 0.5   # centered near x=2
+
+    def test_save_load_roundtrip(self, tmp_path):
+        a, descs = _mk_archive(10, evicted=6)
+        p = str(tmp_path / "arch.npz")
+        a.save(p)
+        b = arch_mod.KeyframeArchive.load(p)
+        assert len(b) == 10 and b.evict_count == 6 and b.base_gid == 0
+        np.testing.assert_allclose(b.descriptors[3], descs[3])
+        np.testing.assert_allclose(b.clouds[4], a.clouds[4])
+
+    def test_base_gid_addressing(self):
+        a = arch_mod.KeyframeArchive(num_ring=4, num_sector=8, base_gid=5)
+        rs = np.random.RandomState(1)
+        for i in range(5, 9):
+            a.add(i, np.array([0, 0, 0, float(i), 0, 0], np.float32),
+                  float(i), rs.randn(10, 3).astype(np.float32),
+                  rs.rand(4, 8).astype(np.float32))
+        a.evict_count = 7
+        a.refresh_live_poses(7, np.tile(np.array([0, 0, 0, 0, 5.0, 0],
+                                                 np.float32), (2, 1)), 2)
+        assert a.poses[2][4] == 5.0          # gid 7 = local 2
+        assert a.poses[0][4] == 0.0          # gid 5 frozen
+        pts = a.submap(6, search_num=0, max_points=100)
+        assert abs(pts[:, 0].mean() - 6.0) < 1.0
+
+    def test_compose_yaw_matches_device(self):
+        pose = np.array([0.1, -0.2, 0.7, 1.0, 2.0, 3.0], np.float32)
+        yaw = -0.5
+        host = arch_mod.compose_yaw_np(pose, yaw)
+        dev = np.asarray(se3.pose6_compose(
+            jnp.asarray(pose),
+            jnp.asarray(np.array([0, 0, yaw, 0, 0, 0], np.float32))))
+        np.testing.assert_allclose(host, dev, atol=1e-5)
+
+
+def _circuit_cfg(**kw):
+    return Config(
+        static=StaticConfig(max_raw_points=2048, max_scan_points=2048,
+                            max_map_points=8192, max_keyframes=8,
+                            max_keyframe_points=1024, max_loop_queue=2,
+                            max_gps_queue=2, window_size=8, max_imu_window=32),
+        registration=RegistrationConfig(degeneracy_eig_thresh=10.0),
+        keyframe=KeyframeConfig(dist_threshold=0.6),
+        loop=LoopClosureConfig(enabled=True, time_diff=1.5,
+                               archive_cooldown_s=0.0, search_num=3,
+                               sc_dist_thresh=0.35),
+        **kw)
+
+
+@pytest.mark.slow
+def test_mission_archive_closes_cross_eviction_loop():
+    """A circular mission whose lap length exceeds device keyframe capacity:
+    by the revisit, lap-1 keyframes are evicted — only the archive can close
+    the loop.  The reference closes it via its unbounded SC database."""
+    cfg = _circuit_cfg()
+    n = 60
+    # yaw_rate 2pi/4.5 rad/s: one 45-scan lap (r ~= 1.4 m, ~15 keyframes at
+    # the 0.6 m gate — twice the 8-keyframe device capacity)
+    seq = synthetic.make_sequence(n_scans=n, n_points=2048, seed=3,
+                                  speed=2.0, yaw_rate=2 * np.pi / 4.5)
+    runner = Runner(cfg, loop_every=5, fetch_every=2)
+    for i in range(n):
+        m = seq.scan_masks[i]
+        scan = formats.StandardScan(
+            xyz=seq.scans[i][m], intensity=np.zeros(int(m.sum()), np.float32),
+            ring=np.zeros(int(m.sum()), np.uint16),
+            time=np.zeros(int(m.sum()), np.float32),
+            stamp=float(seq.stamps[i]))
+        imu = None
+        if i:
+            inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
+                                               jnp.asarray(seq.poses[i])))
+            T = 8
+            t0, t1 = float(seq.stamps[i - 1]), float(seq.stamps[i])
+            imu = {"acc": np.tile([0, 0, cfg.imu.gravity], (T, 1)).astype(np.float32),
+                   "gyr": np.tile(inc[:3] / (t1 - t0), (T, 1)).astype(np.float32),
+                   "stamps": np.linspace(t0, t1, T + 1)[1:]}
+        runner.process_scan(scan, imu=imu)
+    runner.drain()
+    h = runner.health()
+    assert h["keyframe_evictions"] > 0, "test needs eviction pressure"
+    assert h["archived_keyframes"] > cfg.static.max_keyframes, \
+        "archive must outlive device capacity"
+    assert not h["loop_memory_exhausted"]
+    # the revisit must have produced at least one archive-served loop factor
+    assert runner.archive_loops >= 1
+    assert not runner.mapping_error
+    assert np.isfinite(np.stack(runner.trajectory)).all()

@@ -289,3 +289,80 @@ def test_mission_log(tmp_path, seq):
                 "stage_ms"} <= set(r)
     assert recs[-1]["keyframes"] >= 1
     assert recs[-1]["stage_ms"]["mapping_step"] > 0
+
+
+def test_inject_loop_constraint(seq):
+    """External loop-constraint API (detectLoopClosureExternal parity,
+    mapOptmization.cpp:1306-1358): accepted constraints land in the pending
+    queue and are consumed into the loop-factor region."""
+    from lio_slam_tpu.config import KeyframeConfig
+    cfg = small_cfg(keyframe=KeyframeConfig(dist_threshold=0.15))
+    runner = Runner(cfg, loop_every=100)
+    for i in range(4):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        runner.process_scan(scan_at(seq, i), imu=imu)
+    n_kf = int(runner.state.store.count)
+    assert n_kf >= 2
+    meas = np.asarray(se3.pose6_between(
+        runner.state.store.poses[n_kf - 1], runner.state.store.poses[0]))
+    # endpoints not live -> rejected
+    assert not runner.inject_loop_constraint(n_kf - 1, n_kf + 5, meas)
+    assert not runner.inject_loop_constraint(2, 2, meas)
+    # valid injection -> queued
+    assert runner.inject_loop_constraint(n_kf - 1, 0, meas)
+    assert bool(np.asarray(runner.state.pend_mask).any())
+    loops_before = int(runner.state.loop_count)
+    # the constraint is consumed at the next keyframe save
+    for i in range(4, 8):
+        runner.process_scan(scan_at(seq, i),
+                            imu=imu_between(seq, i, cfg.imu.gravity))
+    assert int(runner.state.loop_count) == loops_before + 1
+    assert not runner.mapping_error
+
+
+def test_health_drain_buffers_result(seq):
+    """round-3 advisor: a monitor polling health() between scans must not
+    swallow the pending batch's ScanResult."""
+    runner = Runner(small_cfg(), loop_every=100, fetch_every=4)
+    got = []
+    for i in range(8):
+        r = runner.process_scan(scan_at(seq, i))
+        if r is not None:
+            got.append(r)
+        if i == 1:                       # mid-batch health poll drains early
+            h = runner.health()
+            assert "loop_memory_exhausted" in h
+    # every scan's result is still surfaced exactly once overall: the early
+    # drain's result arrives via the buffered hand-back
+    runner.drain()
+    assert len(runner.trajectory) == 8
+    assert len(got) >= 2                 # batch results still flow
+
+
+def test_resume_restores_staleness_gate(tmp_path, seq):
+    """round-3 advisor (medium): a resume across real downtime must treat the
+    first post-resume correction as stale (reinitialize), not correct()
+    across the gap."""
+    cfg = small_cfg()
+    path = str(tmp_path / "ck.npz")
+    runner = Runner(cfg, loop_every=100)
+    for i in range(4):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        runner.process_scan(scan_at(seq, i), imu=imu)
+    runner.save_checkpoint(path)
+    assert runner._last_correct_t is not None
+
+    r2 = Runner.resume(path, cfg)
+    # persisted last-correction time restored
+    assert r2._last_correct_t == pytest.approx(runner._last_correct_t)
+    # a scan arriving after a long gap hits the staleness gate: the frontend
+    # is re-anchored and the mission continues without velocity runaway
+    gap = cfg.imu.max_correction_age + 5.0
+    late = scan_at(seq, 5)
+    late.stamp = float(late.stamp) + gap
+    imu = imu_between(seq, 5, cfg.imu.gravity)
+    imu = {**imu, "stamps": np.asarray(imu["stamps"]) + gap}
+    out = r2.process_scan(late, imu=imu)
+    assert out is not None
+    assert np.isfinite(out.pose).all()
+    assert not r2.mapping_error
