@@ -154,18 +154,23 @@ def bench_pipeline_replay(n_scans: int) -> dict:
         acc=jnp.asarray(acc), gyr=jnp.asarray(gyr), dts=jnp.asarray(dts),
         rel_t=jnp.asarray(rel_t), imask=jnp.asarray(imask),
         stamp=jnp.asarray(seq.stamps))
-    run = replay_mod.make_pipeline_replay(cfg, loop_every=10)
+    # cadence-chunked: the per-scan program runs 10 scans per call, the
+    # detector + full correction run as separate programs at the boundary —
+    # the monolithic lax.cond-fused variant compiles pathologically at
+    # production shapes (>40 min on the v5e AOT helper; replay.py note)
+    cr = replay_mod.ChunkedReplay(cfg, loop_every=10)
+    chunks = cr.split(batch)
     fresh = jax.jit(lambda: (lio.init_state(cfg), fe.init_state()))
 
     st, fes = fresh()
-    st, fes, outs = run(st, fes, batch)
+    st, fes, outs = cr.run(st, fes, chunks)
     jax.block_until_ready(outs.poses)
     note("pipeline replay compiled + warm")
     elapsed = float("inf")
     for _ in range(3):
         st, fes = fresh()
         t0 = time.time()
-        _, _, outs = run(st, fes, batch)
+        _, _, outs = cr.run(st, fes, chunks)
         jax.block_until_ready(outs.poses)
         elapsed = min(elapsed, time.time() - t0)
     rate = n_scans / elapsed

@@ -59,7 +59,16 @@ class ReplayOut(NamedTuple):
 
 def make_pipeline_replay(cfg: Config, loop_every: int = 10):
     """Build replay(lio_state, imu_state, batch) -> (lio_state, imu_state,
-    ReplayOut) — the full pipeline per scan under one jit."""
+    ReplayOut) — the full pipeline per scan under one jit.
+
+    NOTE on compile cost: with loop_every > 0 the loop detector AND the
+    full-graph correction (sparse solve + whole-map rebuild) are fused into
+    the scan body — at production shapes that single program can take
+    pathologically long to compile (>40 min observed on the v5e AOT
+    helper).  For production shapes use `ChunkedReplay`,
+    which runs the same per-scan program with the detector/correction as
+    separate (fast-compiling) programs invoked at the cadence boundary —
+    identical on-device work, 3 async dispatches per cadence period."""
     lid = cfg.lidar
     step = lio.make_lio_step(cfg)
     detector = loop_closure.make_loop_detector(cfg)
@@ -69,7 +78,10 @@ def make_pipeline_replay(cfg: Config, loop_every: int = 10):
 
     @jax.jit
     def replay(state: lio.LioState, imu_state: fe.ImuFrontendState,
-               batch: ReplayBatch):
+               batch: ReplayBatch, last_pose0=None):
+        if last_pose0 is None:
+            last_pose0 = jnp.zeros(6, jnp.float32)
+
         def body(carry, inp):
             st, fes, last_pose, idx = carry
             have_imu = jnp.any(inp.imask)
@@ -121,9 +133,68 @@ def make_pipeline_replay(cfg: Config, loop_every: int = 10):
                           fused_last=fused[-1], degenerate=out.degenerate)
             return (st, fes, st.pose, idx + 1), o
 
-        init = (state, imu_state, jnp.zeros(6, jnp.float32),
-                jnp.zeros((), jnp.int32))
-        (st, fes, _, _), outs = jax.lax.scan(body, init, batch)
+        init = (state, imu_state, last_pose0, jnp.zeros((), jnp.int32))
+        (st, fes, last_pose, _), outs = jax.lax.scan(body, init, batch)
         return st, fes, outs
 
     return replay
+
+
+class ChunkedReplay:
+    """Whole-pipeline replay in cadence-sized chunks: the per-scan program
+    (deskew -> front-end predict -> mapping -> front-end correct ->
+    TransformFusion) runs `loop_every` scans per jitted call, then the loop
+    detector and the full-graph correction run as their own (already-small)
+    programs — the reference's separate 0.2-1 Hz loop thread, with 3 async
+    device dispatches per cadence period instead of one pathological fused
+    compile (see make_pipeline_replay's note).
+
+    Usage:
+        cr = ChunkedReplay(cfg, loop_every=10)
+        chunks = cr.split(batch)                 # list of chunk batches
+        state, fes = cr.init()
+        state, fes, outs = cr.run(state, fes, chunks)
+    """
+
+    def __init__(self, cfg: Config, loop_every: int = 10):
+        self.cfg = cfg
+        self.loop_every = loop_every
+        self._chunk = make_pipeline_replay_carry(cfg)
+        self.detector = loop_closure.make_loop_detector(cfg)
+        self.full_correct = lio.make_full_correction(cfg)
+
+    def init(self):
+        return lio.init_state(self.cfg), fe.init_state()
+
+    def split(self, batch: ReplayBatch):
+        n = batch.stamp.shape[0]
+        L = self.loop_every
+        assert n % L == 0, f"n_scans {n} must divide by loop_every {L}"
+        return [jax.tree.map(lambda a: a[i * L:(i + 1) * L], batch)
+                for i in range(n // L)]
+
+    def run(self, state, imu_state, chunks):
+        last_pose = jnp.zeros(6, jnp.float32)
+        outs = []
+        for cb in chunks:
+            state, imu_state, last_pose, o = self._chunk(
+                state, imu_state, last_pose, cb)
+            state = self.detector(state)
+            state = self.full_correct(state)
+            outs.append(o)
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return state, imu_state, outs
+
+
+def make_pipeline_replay_carry(cfg: Config):
+    """The per-scan pipeline scan WITHOUT the in-body detector/correction,
+    with the TransformFusion last-pose carry exposed so chunked callers can
+    thread it across calls."""
+    inner = make_pipeline_replay(cfg, loop_every=0)
+
+    @jax.jit
+    def chunk(state, imu_state, last_pose, batch):
+        st, fes, outs = inner(state, imu_state, batch, last_pose)
+        return st, fes, st.pose, outs
+
+    return chunk

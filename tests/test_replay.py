@@ -74,3 +74,25 @@ def test_replay_matches_repeat_run():
     _, _, o1 = run(lio.init_state(cfg), fe.init_state(), b)
     _, _, o2 = run(lio.init_state(cfg), fe.init_state(), b)
     np.testing.assert_array_equal(np.asarray(o1.poses), np.asarray(o2.poses))
+
+
+def test_chunked_replay_runs_and_tracks():
+    """ChunkedReplay: same per-scan program with detector/correction at the
+    chunk boundary — must track like the monolith (not bitwise: the monolith
+    applies the detector inside the scan at idx%L==L-1, the chunked form at
+    the chunk edge; same cadence, same programs)."""
+    cfg = _cfg()
+    n = 8
+    seq = synthetic.make_sequence(n_scans=n, n_points=2048, seed=0)
+    cr = replay.ChunkedReplay(cfg, loop_every=4)
+    chunks = cr.split(_batch(seq, cfg, n))
+    assert len(chunks) == 2
+    state, fes = cr.init()
+    state, fes, outs = cr.run(state, fes, chunks)
+    poses = np.asarray(outs.poses)
+    assert poses.shape == (n, 6)
+    assert np.isfinite(poses).all()
+    rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                                 jnp.asarray(p)))
+                    for p in seq.poses[:n]])
+    assert synthetic.ate_rmse(poses, rel) < 0.15

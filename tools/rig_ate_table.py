@@ -69,9 +69,11 @@ def run_rig(name: str, seq, n: int, loop_every: int = 10):
         acc=jnp.asarray(acc[:n]), gyr=jnp.asarray(gyr[:n]),
         dts=jnp.asarray(dts[:n]), rel_t=jnp.asarray(rel_t[:n]),
         imask=jnp.asarray(imask[:n]), stamp=jnp.asarray(seq.stamps[:n]))
-    run = replay.make_pipeline_replay(cfg, loop_every=loop_every)
+    cr = replay.ChunkedReplay(cfg, loop_every=loop_every)
+    chunks = cr.split(batch)
     t0 = time.time()
-    _, _, outs = run(lio.init_state(cfg), fe.init_state(), batch)
+    state, fes = cr.init()
+    _, _, outs = cr.run(state, fes, chunks)
     poses = np.asarray(outs.poses)
     elapsed = time.time() - t0
     rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
