@@ -140,14 +140,38 @@ def _insert_core(table: jax.Array, counts: jax.Array, points: jax.Array,
     return padded[:T], counts
 
 
-@partial(jax.jit, static_argnames=("table_size", "max_per_cell", "halo"))
+@partial(jax.jit, static_argnames=("table_size", "max_per_cell", "halo", "chunk"))
 def build_grid(points: jax.Array, mask: jax.Array, cell_size: float,
                table_size: int = 32768, max_per_cell: int = 16,
-               halo: str = "none") -> HashGrid:
+               halo: str = "none", chunk: int = 262144) -> HashGrid:
+    """Build a grid over `points`.  Inputs beyond `chunk` points are
+    inserted in chunk-sized pieces under a fori_loop: the insert's
+    multi-operand lax.sort has K halo rows per point, and the TPU compile of
+    a single multi-million-row sort is superlinear-pathological (measured:
+    the K=256x8192-point full-map rebuild — a 6M-row sort — hung the v5e
+    AOT helper for >30 min and OOM-killed it at K=512, while chunked
+    inserts compile in seconds and cost only ~nc sequential sorts at loop-
+    event cadence)."""
     cs = jnp.float32(cell_size)
     table = jnp.full((table_size, max_per_cell, 3), SENTINEL, points.dtype)
     counts = jnp.zeros(table_size, jnp.int32)
-    table, counts = _insert_core(table, counts, points, mask, cs, halo)
+    M = points.shape[0]
+    if M <= chunk:
+        table, counts = _insert_core(table, counts, points, mask, cs, halo)
+    else:
+        nc = -(-M // chunk)
+        pad = nc * chunk - M
+        pts = jnp.concatenate(
+            [points, jnp.zeros((pad, 3), points.dtype)], axis=0)
+        msk = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+        pts = pts.reshape(nc, chunk, 3)
+        msk = msk.reshape(nc, chunk)
+
+        def body(i, carry):
+            t, c = carry
+            return _insert_core(t, c, pts[i], msk[i], cs, halo)
+
+        table, counts = jax.lax.fori_loop(0, nc, body, (table, counts))
     return HashGrid(table=table, counts=counts, cell_size=cs)
 
 

@@ -241,3 +241,26 @@ def test_xyhalo_matches_bruteforce_within_radius():
     bd = np.sort(np.asarray(ref_res.dist2), axis=1)[in_radius]
     np.testing.assert_allclose(gd, bd, rtol=1e-3, atol=1e-4)
     assert in_radius.sum() > 20
+
+
+def test_build_grid_chunked_matches_monolithic():
+    """Chunked build (large-input path: fori_loop of small inserts instead
+    of one multi-million-row sort whose TPU compile is pathological) must
+    yield the same neighbours as the single-sort build."""
+    import numpy as np
+    from lio_slam_tpu.ops import voxel_grid as vg
+    rs = np.random.RandomState(0)
+    M = 6000
+    pts = jnp.asarray(rs.uniform(-20, 20, (M, 3)).astype(np.float32))
+    mask = jnp.asarray(rs.rand(M) > 0.1)
+    q = jnp.asarray(rs.uniform(-18, 18, (256, 3)).astype(np.float32))
+    qm = jnp.ones(256, bool)
+    g1 = vg.build_grid(pts, mask, 1.0, 4096, 16, halo="z")
+    g2 = vg.build_grid(pts, mask, 1.0, 4096, 16, halo="z", chunk=1024)
+    r1 = vg.query_knn(g1, q, qm, k=5, halo="z")
+    r2 = vg.query_knn(g2, q, qm, k=5, halo="z")
+    np.testing.assert_allclose(np.sort(np.asarray(r1.dist2), axis=1),
+                               np.sort(np.asarray(r2.dist2), axis=1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r1.valid).sum(),
+                                  np.asarray(r2.valid).sum())
