@@ -154,11 +154,11 @@ def bench_pipeline_replay(n_scans: int) -> dict:
         acc=jnp.asarray(acc), gyr=jnp.asarray(gyr), dts=jnp.asarray(dts),
         rel_t=jnp.asarray(rel_t), imask=jnp.asarray(imask),
         stamp=jnp.asarray(seq.stamps))
-    # cadence-chunked: the per-scan program runs 10 scans per call, the
-    # detector + full correction run as separate programs at the boundary —
-    # the monolithic lax.cond-fused variant compiles pathologically at
-    # production shapes (>40 min on the v5e AOT helper; replay.py note)
-    cr = replay_mod.ChunkedReplay(cfg, loop_every=10)
+    # host-driven: per-scan ASYNC dispatches of the separately-compiled
+    # stage programs (no fetches in the loop) — the fused variants trigger
+    # a superlinear TPU compile at production shapes (>28 min for a program
+    # the CPU backend compiles in 27 s; replay.py HostDrivenReplay note)
+    cr = replay_mod.HostDrivenReplay(cfg, loop_every=10)
     chunks = cr.split(batch)
     fresh = jax.jit(lambda: (lio.init_state(cfg), fe.init_state()))
 

@@ -186,6 +186,106 @@ class ChunkedReplay:
         return state, imu_state, outs
 
 
+class HostDrivenReplay:
+    """Whole-pipeline replay as per-scan ASYNC dispatches of the separately
+    compiled stage programs (prep+predict → mapping step → correct+fuse,
+    detector + full correction at cadence), with nothing fetched until the
+    end.
+
+    Why this exists: the fused chunk program triggers a superlinear TPU
+    compile (>28 min for a program the CPU backend compiles in 27 s —
+    measured by bisection: step-in-scan 130 s, frontend-in-scan 11 s,
+    deskew-in-scan 4 s, union pathological).  Per-scan dispatch over the
+    tunnel costs ~0.13 ms against a ~3 ms step — ≤5% overhead, all stages
+    still timed, zero host round trips inside the loop."""
+
+    def __init__(self, cfg: Config, loop_every: int = 10):
+        self.cfg = cfg
+        self.loop_every = loop_every
+        lid = cfg.lidar
+        correct, predict_rate, transform_fusion = fe.make_frontend(cfg.imu)
+
+        @jax.jit
+        def prep_predict(fes, xyz, ptime, pmask, ring, acc, gyr, dts,
+                         rel_t, imask):
+            have_imu = jnp.any(imask)
+            table = deskew_mod.build_rotation_table(gyr, rel_t, imask)
+            desk = deskew_mod.deskew(xyz, ptime, pmask & have_imu, table)
+            cloud = pc.Cloud(xyz=desk, mask=pmask)
+            cloud = pc.filter_points(cloud, lid.lidar_min_range,
+                                     lid.lidar_max_range,
+                                     lid.crop_box_min, lid.crop_box_max)
+            if lid.point_filter_num > 1 or lid.downsample_rate > 1:
+                cloud = pc.decimate(cloud, lid.point_filter_num, ring=ring,
+                                    downsample_rate=lid.downsample_rate)
+            imask_corr = imask & (rel_t <= 1e-6)
+            rate_poses = predict_rate(fes, acc, gyr, dts, imask_corr)
+            guess = rate_poses[-1]
+            gvalid = fes.initialized & have_imu
+            imu_rpy = se3.matrix_to_rpy(fes.nav.R)
+            return (cloud, guess, gvalid, imu_rpy, have_imu, imask_corr,
+                    rate_poses)
+
+        @jax.jit
+        def correct_fuse(fes, acc, gyr, dts, imask_corr, pose, degenerate,
+                         last_pose, rate_poses):
+            fes = correct(fes, acc, gyr, dts, imask_corr, pose, degenerate)
+            fused = transform_fusion(last_pose, rate_poses[0],
+                                     rate_poses[-1])
+            return fes, fused
+
+        self._prep_predict = prep_predict
+        self._correct_fuse = correct_fuse
+        # lio_step donates its state: any state.pose held across the next
+        # step call must be snapshotted into a fresh buffer first (the
+        # Runner's _pose_copy pattern)
+        self._pose_copy = jax.jit(lambda p: p + 0.0)
+        self.step = lio.make_lio_step(cfg)
+        self.detector = loop_closure.make_loop_detector(cfg)
+        self.full_correct = lio.make_full_correction(cfg)
+
+    def init(self):
+        return lio.init_state(self.cfg), fe.init_state()
+
+    def split(self, batch: ReplayBatch):
+        """Pre-stage per-scan input pytrees (device slices created OUTSIDE
+        the timed loop)."""
+        n = batch.stamp.shape[0]
+        return [jax.tree.map(lambda a: a[i], batch) for i in range(n)]
+
+    def run(self, state, imu_state, scans):
+        last_pose = jnp.zeros(6, jnp.float32)
+        poses, iters, fused_out, degen = [], [], [], []
+        for i, s in enumerate(scans):
+            (cloud, guess, gvalid, imu_rpy, have_imu, imask_corr,
+             rate_poses) = self._prep_predict(
+                imu_state, s.xyz, s.ptime, s.pmask, s.ring, s.acc, s.gyr,
+                s.dts, s.rel_t, s.imask)
+            sin = lio.ScanInput(
+                cloud=cloud, stamp=s.stamp, init_guess=guess,
+                guess_valid=gvalid, imu_rpy=imu_rpy,
+                imu_available=have_imu & imu_state.initialized,
+                gps_pos=jnp.zeros(3), gps_info=jnp.zeros(3),
+                gps_valid=jnp.zeros((), bool))
+            state, out = self.step(state, sin)
+            if self.loop_every > 0 and (i + 1) % self.loop_every == 0:
+                state = self.detector(state)
+                state = self.full_correct(state)
+            cur_pose = self._pose_copy(state.pose)
+            imu_state, fused = self._correct_fuse(
+                imu_state, s.acc, s.gyr, s.dts, imask_corr, cur_pose,
+                out.degenerate, last_pose, rate_poses)
+            last_pose = cur_pose
+            poses.append(cur_pose)
+            iters.append(out.registration_iters)
+            fused_out.append(fused)
+            degen.append(out.degenerate)
+        outs = ReplayOut(poses=jnp.stack(poses), iters=jnp.stack(iters),
+                         fused_last=jnp.stack(fused_out),
+                         degenerate=jnp.stack(degen))
+        return state, imu_state, outs
+
+
 def make_pipeline_replay_carry(cfg: Config):
     """The per-scan pipeline scan WITHOUT the in-body detector/correction,
     with the TransformFusion last-pose carry exposed so chunked callers can

@@ -96,3 +96,21 @@ def test_chunked_replay_runs_and_tracks():
                                                  jnp.asarray(p)))
                     for p in seq.poses[:n]])
     assert synthetic.ate_rmse(poses, rel) < 0.15
+
+
+def test_host_driven_replay_matches_chunked():
+    """HostDrivenReplay (per-scan async dispatch of the stage programs)
+    must track like the chunked form — same programs, same cadence."""
+    cfg = _cfg()
+    n = 8
+    seq = synthetic.make_sequence(n_scans=n, n_points=2048, seed=0)
+    hd = replay.HostDrivenReplay(cfg, loop_every=4)
+    state, fes = hd.init()
+    state, fes, outs = hd.run(state, fes, hd.split(_batch(seq, cfg, n)))
+    poses = np.asarray(outs.poses)
+    assert poses.shape == (n, 6) and np.isfinite(poses).all()
+    rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
+                                                 jnp.asarray(p)))
+                    for p in seq.poses[:n]])
+    assert synthetic.ate_rmse(poses, rel) < 0.15
+    assert np.isfinite(np.asarray(outs.fused_last)).all()

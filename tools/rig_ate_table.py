@@ -26,8 +26,14 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
+# --cpu must win before ANY backend initialization (the axon sitecustomize
+# programmatically forces jax_platforms, so this must run first — the same
+# ordering tests/conftest.py uses)
 import jax
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
 import jax.numpy as jnp
 
 from lio_slam_tpu.config import PRESETS, StaticConfig
@@ -69,7 +75,7 @@ def run_rig(name: str, seq, n: int, loop_every: int = 10):
         acc=jnp.asarray(acc[:n]), gyr=jnp.asarray(gyr[:n]),
         dts=jnp.asarray(dts[:n]), rel_t=jnp.asarray(rel_t[:n]),
         imask=jnp.asarray(imask[:n]), stamp=jnp.asarray(seq.stamps[:n]))
-    cr = replay.ChunkedReplay(cfg, loop_every=loop_every)
+    cr = replay.HostDrivenReplay(cfg, loop_every=loop_every)
     chunks = cr.split(batch)
     t0 = time.time()
     state, fes = cr.init()
@@ -99,7 +105,10 @@ def main():
     ap.add_argument("--easy", action="store_true",
                     help="clean world (regression mode) instead of hard")
     ap.add_argument("--json", default=None)
-    args = ap.parse_args()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (accuracy numbers are "
+                         "backend-independent; use when the TPU is busy)")
+    args = ap.parse_args()   # --cpu already applied at import time
     rigs = args.rigs.split(",") if args.rigs else sorted(PRESETS)
 
     hard = {} if args.easy else dict(outlier_frac=0.02, range_noise=0.05,
