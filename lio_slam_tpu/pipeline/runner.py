@@ -903,15 +903,17 @@ def _run_synthetic(args):
         runner.load_checkpoint(args.resume_from)
     seq = synthetic.make_sequence(n_scans=args.scans, n_points=args.points,
                                   seed=args.seed)
-    t0 = time.time()
-    est = []
+    # precompute ALL harness inputs before the timed loop (the in-loop
+    # eager se3 calls cost a device round trip per scan and dominated the
+    # measured rate — the bench.py harness had the same bug)
+    scans, imus = [], []
     for i in range(args.scans):
-        scan = formats.StandardScan(
+        scans.append(formats.StandardScan(
             xyz=seq.scans[i][seq.scan_masks[i]],
             intensity=np.zeros(int(seq.scan_masks[i].sum()), np.float32),
             ring=np.zeros(int(seq.scan_masks[i].sum()), np.uint16),
             time=np.zeros(int(seq.scan_masks[i].sum()), np.float32),
-            stamp=float(seq.stamps[i]))
+            stamp=float(seq.stamps[i])))
         # synthetic IMU window between scans: finite-difference of truth poses
         if i > 0:
             inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
@@ -921,12 +923,15 @@ def _run_synthetic(args):
             gyr = np.tile(inc[:3] / (T * dtau), (T, 1)).astype(np.float32)
             acc = np.tile([0, 0, cfg.imu.gravity], (T, 1)).astype(np.float32)
             stamps = seq.stamps[i - 1] + np.arange(1, T + 1) * dtau
-            imu = {"acc": acc, "gyr": gyr, "stamps": stamps}
+            imus.append({"acc": acc, "gyr": gyr, "stamps": stamps})
         else:
-            imu = None
-        r = runner.process_scan(scan, imu=imu)
-        est.append(r.pose)
+            imus.append(None)
+    t0 = time.time()
+    for i in range(args.scans):
+        runner.process_scan(scans[i], imu=imus[i])
+    runner.drain()
     elapsed = time.time() - t0
+    est = list(runner.trajectory)
     est = np.stack(est)
     rel = np.stack([np.asarray(se3.pose6_between(jnp.asarray(seq.poses[0]),
                                                  jnp.asarray(p)))
