@@ -9,14 +9,16 @@ is our scans/s divided by that.
 Structure (round-2 verdict: the single line printed only at the very end, so
 a driver timeout anywhere lost the already-measured number):
 
-1. on-device lax.scan replay — the headline number — is measured FIRST and
-   its complete JSON line is printed + flushed IMMEDIATELY.
-2. the Runner-level whole-pipeline bench then runs under a hard internal
-   time budget (bails between scans once the budget is hit),
-3. the production-shape sparse backend (K=2048 full-graph correction) is
-   timed under the remaining budget,
-and a SECOND, augmented JSON line is printed at the end.  Whichever line is
-parsed (first or last), it is complete and carries the headline metric.
+1.  on-device lax.scan step replay — measured FIRST, its complete JSON line
+    printed + flushed IMMEDIATELY.
+1b. the WHOLE pipeline on device (deskew + front-end guesses + mapping +
+    loop cadence + TransformFusion; pipeline_scans_per_sec + mean GN iters),
+2.  the live Runner host loop (+ dispatch-only rate and fetch-time split),
+3.  the production-shape sparse backend (K=2048 full-graph correction),
+4.  the fused correspondence kernel's achieved HBM GB/s vs the v5e peak,
+each appending to a fresh augmented JSON line under a shared wall budget.
+Whichever line is parsed (first or last), it is complete and carries the
+headline metric.
 """
 
 import json
