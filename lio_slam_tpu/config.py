@@ -144,6 +144,14 @@ class RegistrationConfig:
     # iteration on v5e.  Auto-disabled on the CPU backend (tests compare the
     # two paths directly in interpret mode instead).
     use_fused_kernel: bool = True
+    # sort scan points by voxel cell before registration: permutation-
+    # invariant result, and the fused kernel's bucket gather becomes
+    # near-sequential instead of random (-20% per fused call measured in
+    # isolation) — but the argsort + permutation gathers cost MORE than
+    # the locality saves inside the full step (403 -> 381 scans/s
+    # end-to-end), so it stays off by default; useful only if a future
+    # kernel holds more gather state per bucket
+    sort_scan_by_cell: bool = False
     # correspondence refresh period for the fused path: 1 = re-gather the
     # candidate buckets every GN iteration (the reference re-runs its kd-tree
     # 5-NN per iteration, surfOptimization inside the :1848 loop); n>1 holds

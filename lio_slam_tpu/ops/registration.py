@@ -250,6 +250,26 @@ def _degeneracy_projection(AtA: jax.Array, eig_thresh: float):
     return P, degenerate
 
 
+def _cell_sorted(scan: jax.Array, scan_mask: jax.Array, cell_size: float):
+    """Sort scan points by voxel cell id (masked points last).
+
+    The registration result is permutation-invariant (the 6x6 normal
+    equations are a sum over points), but the fused kernel's bucket gather
+    is not: spatially-adjacent queries read the same 9 buckets, so cell
+    order turns random HBM bucket reads into near-sequential ones —
+    measured 2.04 -> 1.64 ms per fused call (-20%) at the bench shapes.
+    (Hash order was also tried: 3.12 ms — WORSE, since hash-adjacent
+    buckets are spatially random; locality must follow cells.)  Body-frame
+    cells are used — rigid transforms preserve adjacency, so the world-
+    frame gather inherits the locality."""
+    c = jnp.clip(jnp.floor(scan / cell_size).astype(jnp.int32) + 512,
+                 0, 1023)
+    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    key = jnp.where(scan_mask, key, jnp.int32(1 << 30))
+    order = jnp.argsort(key)
+    return scan[order], scan_mask[order]
+
+
 def _maybe_fused(scan, scan_mask, grid, cfg: RegistrationConfig):
     """Return the fused-kernel ne_fn when enabled and applicable (grid
     backend, non-CPU platform — the CPU backend has no Mosaic compiler, and
@@ -400,6 +420,8 @@ def register(scan: jax.Array, scan_mask: jax.Array,
     """
     scan = scan.astype(jnp.float32)
     map_pts = map_pts.astype(jnp.float32)
+    if cfg.sort_scan_by_cell:
+        scan, scan_mask = _cell_sorted(scan, scan_mask, cfg.nn_radius)
 
     if cfg.knn_backend == "grid":
         # cell size = nn_radius so the 27-cell neighbourhood covers the gate
@@ -540,6 +562,8 @@ def register_with_grid(scan: jax.Array, scan_mask: jax.Array,
     """scan2MapOptimization against a persistent (incremental) voxel map —
     the production path: no per-scan map assembly or grid build."""
     scan = scan.astype(jnp.float32)
+    if cfg.sort_scan_by_cell:
+        scan, scan_mask = _cell_sorted(scan, scan_mask, cfg.nn_radius)
 
     def corr_fn(pose):
         return find_correspondences(scan, scan_mask, None, None, pose, cfg,
