@@ -22,6 +22,14 @@ multiplicity vs gather width*:
   amortized by the incremental map (inserts happen per keyframe, queries per
   GN iteration per scan).
 
+End-to-end measurements (v5e, round 4, full step replay at bench shapes —
+which layout wins depends on what the mission carries, not the isolated
+gather): z/24 = 378 scans/s; full/96 = 192 scans/s (the 27x insert rows +
+4x grid state lose more than the single wide gather row saves); xy was
+round 3's loss (230 vs 310).  Scan pre-sorting by cell cuts the fused call
+20% in isolation but loses ~5% end-to-end to the argsort
+(registration.sort_scan_by_cell, default off).  z stays the default.
+
 Build/insert emit one (bucket, point) row per halo offset, sort all rows by
 bucket once, rank within runs, and scatter — rows of distinct cells that
 hash-collide into one bucket merge into a single correctly-ranked run (a
