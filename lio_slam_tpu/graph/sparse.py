@@ -149,9 +149,15 @@ def _assemble(graph: F.PoseGraph):
     eb, Ji, Jj = F.linearize_between(graph)
     wb = graph.bt_info * graph.bt_mask[:, None]
 
-    # chain part: slots [0, K-1), slot i couples poses (i, i+1)
+    # chain part: slots [0, K-1), slot i couples poses (i, i+1).  The D/Loff
+    # scatters below go to FIXED positions (slot i -> poses i, i+1), so a
+    # factor routed through this region with (bt_i, bt_j) != (i, i+1) would
+    # land its blocks on the wrong poses — drop it instead of corrupting the
+    # solve (round-4 advisor; non-chain topology belongs in the loop region)
     c = K - 1
-    wc = wb[:c]
+    slots = jnp.arange(c)
+    chain_ok = (graph.bt_i[:c] == slots) & (graph.bt_j[:c] == slots + 1)
+    wc = wb[:c] * chain_ok[:, None]
     D = D.at[:c].add(jnp.einsum("bri,br,brj->bij", Ji[:c], wc, Ji[:c]))
     D = D.at[1:K].add(jnp.einsum("bri,br,brj->bij", Jj[:c], wc, Jj[:c]))
     # T[i+1, i] = Jjᵀ W Ji

@@ -36,14 +36,16 @@ def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(), P(), P(), P()),
-             out_specs=(P(), P(), P()),
+             out_specs=(P(), P(), P(), P(), P()),
              check_vma=False)
     def normal_equations(scan, scan_mask, grid, map_mask, pose, _unused):
         corr = reg.find_correspondences(scan, scan_mask, None, None,
                                         pose, cfg, grid=grid)
         AtA, Atb = reg._normal_equations(scan, corr, pose)
         n_inl = jnp.sum(corr.valid.astype(jnp.int32))
-        return jax.lax.psum((AtA, Atb, n_inl), axis)
+        w_sum = jnp.sum(corr.weight)
+        wres_sum = jnp.sum(corr.weight * jnp.abs(corr.residual))
+        return jax.lax.psum((AtA, Atb, n_inl, w_sum, wres_sum), axis)
 
     @jax.jit
     def register(scan, scan_mask, map_pts, map_mask, init_pose):
@@ -53,14 +55,13 @@ def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
                              cfg.grid_table_size, cfg.grid_max_per_cell,
                              halo=cfg.grid_halo)
         def cond(st):
-            pose, P_, degen, it, conv = st
+            it, conv = st[3], st[4]
             return (it < cfg.max_iterations) & ~conv
 
         def body(st):
-            pose, P_prev, degen_prev, it, _ = st
-            AtA, Atb, n_inl = normal_equations(scan, scan_mask, grid,
-                                               map_mask, pose,
-                                               jnp.zeros(()))
+            pose, P_prev, degen_prev, it, _, _, _ = st
+            AtA, Atb, n_inl, w_sum, wres_sum = normal_equations(
+                scan, scan_mask, grid, map_mask, pose, jnp.zeros(()))
             dx = jnp.linalg.solve(AtA + jnp.eye(6, dtype=AtA.dtype) * 1e-6, Atb)
             Pm, degen = reg._degeneracy_projection(AtA, cfg.degeneracy_eig_thresh)
             Pm = jnp.where(it == 0, Pm, P_prev)
@@ -72,16 +73,21 @@ def make_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
             dr = jnp.linalg.norm(dx[:3]) * (180.0 / jnp.pi)
             dt = jnp.linalg.norm(dx[3:]) * 100.0
             conv = ((dr < cfg.rot_converge) & (dt < cfg.trans_converge)) | ~enough
-            return (pose, Pm, degen, it + 1, conv)
+            mean_res = wres_sum / jnp.maximum(w_sum, 1e-6)
+            return (pose, Pm, degen, it + 1, conv, n_inl, mean_res)
 
         init = (init_pose.astype(jnp.float32), jnp.eye(6, dtype=jnp.float32),
                 jnp.zeros((), bool), jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool))
-        pose, _, degen, it, conv = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.float32))
+        pose, _, degen, it, conv, n_inl, mean_res = \
+            jax.lax.while_loop(cond, body, init)
+        # inlier count / fitness from the LAST iteration (round-4 advisor:
+        # zeros here made the standard fitness gates reject this path)
         return reg.RegistrationResult(pose=pose, degenerate=degen,
                                       converged=conv, iterations=it,
-                                      num_inliers=jnp.zeros((), jnp.int32),
-                                      mean_residual=jnp.zeros(()))
+                                      num_inliers=n_inl,
+                                      mean_residual=mean_res)
 
     return register
 
@@ -110,7 +116,7 @@ def make_map_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis, None), P(axis), P()),
-             out_specs=(P(), P(), P(), P()),
+             out_specs=(P(), P(), P(), P(), P(), P()),
              check_vma=False)
     def run(scan, scan_mask, map_shard, map_mask_shard, init_pose):
         # per-device grid over the local map slice — built ONCE per call
@@ -154,15 +160,17 @@ def make_map_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
             corr_c = reg.Correspondences(*[sl(f) for f in corr])
             AtA, Atb = reg._normal_equations(sl(scan), corr_c, pose)
             n_inl = jnp.sum(corr_c.valid.astype(jnp.int32))
-            return jax.lax.psum((AtA, Atb, n_inl), axis)
+            w_sum = jnp.sum(corr_c.weight)
+            wres_sum = jnp.sum(corr_c.weight * jnp.abs(corr_c.residual))
+            return jax.lax.psum((AtA, Atb, n_inl, w_sum, wres_sum), axis)
 
         def cond(st):
-            _, _, _, it, conv = st
+            it, conv = st[3], st[4]
             return (it < cfg.max_iterations) & ~conv
 
         def body(st):
-            pose, P_prev, degen_prev, it, _ = st
-            AtA, Atb, n_inl = normal_equations(pose)
+            pose, P_prev, degen_prev, it, _, _, _ = st
+            AtA, Atb, n_inl, w_sum, wres_sum = normal_equations(pose)
             dx = jnp.linalg.solve(AtA + jnp.eye(6, dtype=AtA.dtype) * 1e-6,
                                   Atb)
             Pm, degen = reg._degeneracy_projection(
@@ -177,22 +185,29 @@ def make_map_sharded_register(mesh: Mesh, cfg: RegistrationConfig,
             dt = jnp.linalg.norm(dx[3:]) * 100.0
             conv = ((dr < cfg.rot_converge)
                     & (dt < cfg.trans_converge)) | ~enough
-            return (pose, Pm, degen, it + 1, conv)
+            mean_res = wres_sum / jnp.maximum(w_sum, 1e-6)
+            return (pose, Pm, degen, it + 1, conv, n_inl, mean_res)
 
         init = (init_pose.astype(jnp.float32), jnp.eye(6, dtype=jnp.float32),
                 jnp.zeros((), bool), jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool))
-        pose, _, degen, it, conv = jax.lax.while_loop(cond, body, init)
-        return pose, degen, it, conv
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.float32))
+        pose, _, degen, it, conv, n_inl, mean_res = \
+            jax.lax.while_loop(cond, body, init)
+        return pose, degen, it, conv, n_inl, mean_res
 
     @jax.jit
     def register(scan, scan_mask, map_sharded, map_mask_sharded, init_pose):
-        pose, degen, it, conv = run(scan, scan_mask, map_sharded,
-                                    map_mask_sharded, init_pose)
+        pose, degen, it, conv, n_inl, mean_res = run(
+            scan, scan_mask, map_sharded, map_mask_sharded, init_pose)
+        # inlier count / weighted fitness from the last GN iteration,
+        # psum'd across the mesh (round-4 advisor: the zeros previously
+        # returned here made standard fitness/inlier gates misjudge results
+        # from this path)
         return reg.RegistrationResult(pose=pose, degenerate=degen,
                                       converged=conv, iterations=it,
-                                      num_inliers=jnp.zeros((), jnp.int32),
-                                      mean_residual=jnp.zeros(()))
+                                      num_inliers=n_inl,
+                                      mean_residual=mean_res)
 
     return register
 

@@ -79,7 +79,14 @@ def make_sharded_sparse_solver(mesh: Mesh, axes=("data",)):
             return e, Ji, Jj
 
         eb, Ji, Jj = jax.vmap(one)(poses[bt_i], poses[bt_j], bt_meas)
-        w = bt_info * bt_mask[:, None]
+        # chain-layout guard (round-4 advisor): the tridiagonal structure can
+        # only represent couplings between ADJACENT keyframes — a factor in
+        # the chain region with bt_j != bt_i+1 would scatter its off-diagonal
+        # block to slot bt_i (= T[bt_i+1, bt_i]) and silently corrupt the
+        # solve.  Drop such factors entirely (non-chain topology belongs in
+        # the loop region, whose low-rank path handles arbitrary endpoints).
+        chain_ok = bt_j == bt_i + 1
+        w = bt_info * (bt_mask & chain_ok)[:, None]
         D = jnp.zeros((K, 6, 6), dtype)
         Loff = jnp.zeros((K, 6, 6), dtype)
         b = jnp.zeros((K, 6), dtype)

@@ -112,10 +112,14 @@ class KeyframeArchive:
             return None
         q_desc = self.descriptors[-1]
         q_key = self._ring_keys[-1]
-        q_stamp = self.stamps[-1]
         keys = np.stack(self._ring_keys[:n_evicted])             # (E, R)
         stamps = np.asarray(self.stamps[:n_evicted])
-        elig = (q_stamp - stamps) > time_diff
+        # eligibility against the CURRENT scan time (`now`), matching the
+        # reference's timeLaserInfoCur - candidate_time gate
+        # (performSCLoopClosure, mapOptmization.cpp:1190-1199) — the runner
+        # attempts the match after this scan's snapshot drains, so the query
+        # descriptor is current too (round-4 advisor)
+        elig = (now - stamps) > time_diff
         if not elig.any():
             return None
         d_ring = np.linalg.norm(keys - q_key[None, :], axis=-1)

@@ -61,7 +61,7 @@ def save_checkpoint(path: str, state: lio.LioState,
     os.replace(tmp, path)          # atomic
 
 
-def load_checkpoint(path: str, cfg: Config):
+def load_checkpoint(path: str, cfg: Config, ops=None):
     """Returns (lio_state, imu_state | None, metadata).
 
     The archive's leaves are grafted onto freshly-built states for `cfg`, so
@@ -73,7 +73,7 @@ def load_checkpoint(path: str, cfg: Config):
         if manifest["format_version"] != FORMAT_VERSION:
             raise ValueError(f"checkpoint format {manifest['format_version']} "
                              f"!= supported {FORMAT_VERSION}")
-        template = lio.init_state(cfg)
+        template = lio.init_state(cfg, ops=ops)
         leaves, _, treedef = _flatten_with_paths(template)
         new_leaves = []
         for i, tmpl in enumerate(leaves):

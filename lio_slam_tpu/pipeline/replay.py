@@ -119,7 +119,7 @@ def make_pipeline_replay(cfg: Config, loop_every: int = 10):
             # --- loop detector at cadence + full correction ---
             if loop_every > 0:
                 st = jax.lax.cond((idx % loop_every) == (loop_every - 1),
-                                  detector, lambda s: s, st)
+                                  lambda s: detector(s)[0], lambda s: s, st)
                 st = full_correct(st)
 
             # --- front-end correction with the mapping pose ---
@@ -179,7 +179,7 @@ class ChunkedReplay:
         for cb in chunks:
             state, imu_state, last_pose, o = self._chunk(
                 state, imu_state, last_pose, cb)
-            state = self.detector(state)
+            state, _ = self.detector(state)
             state = self.full_correct(state)
             outs.append(o)
         outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
@@ -269,7 +269,7 @@ class HostDrivenReplay:
                 gps_valid=jnp.zeros((), bool))
             state, out = self.step(state, sin)
             if self.loop_every > 0 and (i + 1) % self.loop_every == 0:
-                state = self.detector(state)
+                state, _ = self.detector(state)
                 state = self.full_correct(state)
             cur_pose = self._pose_copy(state.pose)
             imu_state, fused = self._correct_fuse(

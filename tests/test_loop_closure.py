@@ -68,7 +68,7 @@ def loop_run():
         prev = np.asarray(out.pose)
         # loop thread cadence: every 3 scans once far enough along
         if i >= n - 6:
-            state = detector(state)
+            state, _aux = detector(state)
     # one more mapping step to consume any queued loop factor
     scan, mask = synthetic.observe(world, poses[0], 4096, rng=rs)
     inp = lio.ScanInput(
@@ -151,7 +151,7 @@ def test_sc_loop_not_starved_by_failing_rs(loop_run):
                 cur_mask[cur_mask])
 
     detector = loop_closure.make_loop_detector(cfg)
-    state = detector(state)
+    state, _aux = detector(state)
     pend_mask = np.asarray(state.pend_mask)
     pend_j = np.asarray(state.pend_j)
     assert pend_mask.sum() == 1, "exactly the SC loop must be queued"
@@ -187,3 +187,28 @@ def test_sparse_full_correction_matches_dense(loop_run):
     np.testing.assert_allclose(np.asarray(sp.graph.poses[:n]),
                                np.asarray(dense.graph.poses[:n]), atol=5e-3)
     assert not bool(sp.needs_full_solve)
+
+
+def test_sc_loop_aux_provenance(loop_run):
+    """The detector's aux output carries provenance for each accepted loop
+    (source slot 0 = rs, 1 = sc; pair + fitness) — the recorded equivalent
+    of the reference's rviz loop markers (mapOptmization.cpp:1385-1436)."""
+    cfg, state, out = loop_run
+    # re-run the detector on a fresh current keyframe state is not possible
+    # here (loop already consumed); instead assert the aux contract on a
+    # detector call over the final state: shapes + dtypes + gating
+    detector = loop_closure.make_loop_detector(cfg)
+    st2, aux = detector(state)
+    assert set(aux) == {"loop_accepted", "loop_pair_i", "loop_pair_j",
+                        "loop_fitness"}
+    acc = np.asarray(aux["loop_accepted"])
+    assert acc.shape == (2,) and acc.dtype == bool
+    fit = np.asarray(aux["loop_fitness"])
+    pi = np.asarray(aux["loop_pair_i"])
+    pj = np.asarray(aux["loop_pair_j"])
+    assert fit.shape == (2,) and pi.shape == (2,) and pj.shape == (2,)
+    # any accepted entry must carry a sub-gate fitness and a sane pair
+    for k in range(2):
+        if acc[k]:
+            assert fit[k] < cfg.loop.fitness_score
+            assert pi[k] != pj[k]

@@ -320,6 +320,43 @@ def test_inject_loop_constraint(seq):
     assert not runner.mapping_error
 
 
+def test_injected_loop_provenance_logged(tmp_path, seq):
+    """Accepted loop constraints are recorded as mission-log events with
+    (i, j, fitness, source) — the rviz loop-marker equivalent
+    (mapOptmization.cpp:1385-1436; round-4 verdict missing #5)."""
+    import json
+    from lio_slam_tpu.config import KeyframeConfig
+    log_path = str(tmp_path / "mission.jsonl")
+    cfg = small_cfg(keyframe=KeyframeConfig(dist_threshold=0.15))
+    runner = Runner(cfg, loop_every=100, mission_log=log_path)
+    for i in range(4):
+        imu = imu_between(seq, i, cfg.imu.gravity) if i else None
+        runner.process_scan(scan_at(seq, i), imu=imu)
+    n_kf = int(runner.state.store.count)
+    meas = np.asarray(se3.pose6_between(
+        runner.state.store.poses[n_kf - 1], runner.state.store.poses[0]))
+    assert runner.inject_loop_constraint(n_kf - 1, 0, meas)
+    runner.close()
+    events = [json.loads(l) for l in open(log_path)
+              if '"event"' in l]
+    loops = [e for e in events if e.get("event") == "loop"]
+    assert len(loops) == 1
+    ev = loops[0]
+    assert ev["source"] == "injected"
+    assert ev["i"] == n_kf - 1 and ev["j"] == 0
+    assert {"t", "fitness"} <= set(ev)
+    # plot_mission's log parser must round-trip the events
+    import importlib.util, os as _os
+    spec = importlib.util.spec_from_file_location(
+        "plot_mission", _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tools", "plot_mission.py"))
+    pm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pm)
+    poses, kf_xy, parsed = pm.collect_log(log_path)
+    assert len(parsed) == 1 and parsed[0]["source"] == "injected"
+    assert len(poses) == 4 and len(kf_xy) == n_kf
+
+
 def test_health_drain_buffers_result(seq):
     """round-3 advisor: a monitor polling health() between scans must not
     swallow the pending batch's ScanResult."""

@@ -125,3 +125,22 @@ def test_sparse_scales_to_large_k():
     assert err < 0.2, f"large-K sparse solve error {err:.3f}"
     cov = np.asarray(sparse.marginal_covariance_sparse(g, jnp.int32(n - 1)))
     assert np.isfinite(cov).all() and cov[3, 3] > 0
+
+
+def test_chain_region_rejects_non_chain_topology(chain):
+    """A factor routed through the chain region with bt_j != bt_i+1 cannot
+    be represented by the tridiagonal structure — it must be DROPPED, not
+    silently scattered to the wrong off-diagonal slot (round-4 advisor).
+    The solve with such a factor must equal the solve without it."""
+    g, n = chain
+    # corrupt an unused chain slot with a long-range (non-adjacent) factor
+    slot = n + 2                           # inside [0, K-1), currently masked
+    bad = g._replace(
+        bt_i=g.bt_i.at[slot].set(2), bt_j=g.bt_j.at[slot].set(17),
+        bt_meas=g.bt_meas.at[slot].set(
+            se3.pose6_between(g.poses[2], g.poses[17])),
+        bt_info=g.bt_info.at[slot].set(jnp.full(6, 1e4)),
+        bt_mask=g.bt_mask.at[slot].set(True))
+    ref = sparse.solve_sparse(g, iterations=3).graph.poses
+    got = sparse.solve_sparse(bad, iterations=3).graph.poses
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

@@ -55,18 +55,54 @@ def collect(path: str, odom_topic: str, gps_topics: list):
     return np.asarray(odom_xy), tracks
 
 
+def collect_log(path: str):
+    """Parse a Runner mission log (JSONL): per-step poses, keyframe
+    positions by GLOBAL id, and accepted-loop events (the recorded
+    equivalent of the reference's rviz loop-constraint markers,
+    mapOptmization.cpp:1385-1436)."""
+    poses, kf_xy, loops = [], [], []
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("event") == "loop":
+                loops.append(rec)
+            elif "pose" in rec:
+                poses.append(rec["pose"][3:5])
+                if rec.get("keyframe"):
+                    # the g-th keyframe record in stream order IS gid g
+                    kf_xy.append(rec["pose"][3:5])
+    return np.asarray(poses), np.asarray(kf_xy), loops
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("bag")
+    ap.add_argument("bag", nargs="?")
     ap.add_argument("--odom-topic", default="/liorf/mapping/odometry")
     ap.add_argument("--gps-topics", nargs="*",
                     default=["/liorf/gpsdata", "/gpsdata", "/gps/fix"])
+    ap.add_argument("--mission-log", default=None,
+                    help="Runner JSONL mission log: overlays the trajectory "
+                         "and draws accepted-loop chords colored by source")
     ap.add_argument("--out", default="mission_overlay.png")
     args = ap.parse_args()
+    if args.bag is None and args.mission_log is None:
+        ap.error("need a bag and/or --mission-log")
 
-    odom_xy, tracks = collect(args.bag, args.odom_topic, args.gps_topics)
+    odom_xy = np.zeros((0, 2))
+    tracks = {}
+    if args.bag:
+        odom_xy, tracks = collect(args.bag, args.odom_topic, args.gps_topics)
+    log_xy, kf_xy, loops = (np.zeros((0, 2)), np.zeros((0, 2)), [])
+    if args.mission_log:
+        log_xy, kf_xy, loops = collect_log(args.mission_log)
     summary = {"odometry_poses": len(odom_xy),
                **{t: len(v) for t, v in tracks.items()}}
+    if args.mission_log:
+        summary.update({"log_steps": len(log_xy), "keyframes": len(kf_xy),
+                        "loop_events": len(loops)})
     print(json.dumps(summary))
 
     import matplotlib
@@ -77,11 +113,27 @@ def main():
         ax.plot(odom_xy[:, 0], odom_xy[:, 1], "k-", lw=1.5, label=args.odom_topic)
     for t, xy in tracks.items():
         ax.plot(xy[:, 0], xy[:, 1], ".", ms=3, label=t)
+    if len(log_xy):
+        ax.plot(log_xy[:, 0], log_xy[:, 1], "b-", lw=1.0, alpha=0.7,
+                label="mission log")
+    # loop chords: a line between the matched keyframe pair, by source
+    src_color = {"rs": "tab:green", "sc": "tab:orange",
+                 "archive": "tab:red", "injected": "tab:purple"}
+    seen_src = set()
+    for ev in loops:
+        i, j = int(ev["i"]), int(ev["j"])
+        if i < len(kf_xy) and j < len(kf_xy):
+            c = src_color.get(ev.get("source", "sc"), "gray")
+            lbl = (f"loop:{ev['source']}"
+                   if ev.get("source") not in seen_src else None)
+            seen_src.add(ev.get("source"))
+            ax.plot([kf_xy[i][0], kf_xy[j][0]], [kf_xy[i][1], kf_xy[j][1]],
+                    "-", color=c, lw=1.2, alpha=0.8, label=lbl)
     ax.set_aspect("equal")
     ax.set_xlabel("east [m]")
     ax.set_ylabel("north [m]")
     ax.legend()
-    ax.set_title(os.path.basename(args.bag))
+    ax.set_title(os.path.basename(args.bag or args.mission_log))
     fig.savefig(args.out, dpi=120, bbox_inches="tight")
     print(f"plot -> {args.out}", file=sys.stderr)
 

@@ -74,11 +74,11 @@ detect = loop_closure.make_loop_detector(cfg)
 
 
 def timeit(name, st, n=5):
-    jax.block_until_ready(detect(st))            # compile
+    jax.block_until_ready(detect(st)[0])         # compile
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(detect(st))
+        jax.block_until_ready(detect(st)[0])
         best = min(best, time.perf_counter() - t0)
     print(f"{name:48s} {best * 1e3:8.2f} ms/cycle", flush=True)
     return best
