@@ -151,6 +151,26 @@ def linearize_gps(graph: PoseGraph):
     return jax.vmap(one)(pi, graph.gps_meas)
 
 
+def graph_chi2(graph: PoseGraph, poses: jax.Array = None) -> jax.Array:
+    """Total weighted squared error of all active factors at `poses`
+    (default: the graph's own) — errors only, no Jacobians.  Used by the
+    solvers' backtracking step control (a GN candidate step is only accepted
+    if it REDUCES this cost; see graph/sparse.solve_sparse)."""
+    if poses is None:
+        poses = graph.poses
+    z = Z6(poses.dtype)
+    e0 = prior_error(poses[0], z, graph.prior_pose)
+    chi2 = jnp.sum(graph.prior_info * e0 * e0)
+    eb = jax.vmap(lambda pi, pj, m: between_error(pi, pj, z, z, m))(
+        poses[graph.bt_i], poses[graph.bt_j], graph.bt_meas)
+    wb = graph.bt_info * graph.bt_mask[:, None]
+    chi2 = chi2 + jnp.sum(wb * eb * eb)
+    eg = jax.vmap(lambda pi, m: gps_error(pi, z, m))(
+        poses[graph.gps_i], graph.gps_meas)
+    wg = graph.gps_info * graph.gps_mask[:, None]
+    return chi2 + jnp.sum(wg * eg * eg)
+
+
 # ---------------------------------------------------------------------------
 # reference noise models (mapOptmization.cpp)
 # ---------------------------------------------------------------------------

@@ -138,8 +138,15 @@ def solve(graph: F.PoseGraph, active_mask: jax.Array,
         g, _, _ = carry
         H, b, chi2 = linearize_full(g, active_mask)
         delta = _equilibrated_cholesky_solve(H, b)
-        g2 = _retract_all(g, delta, active_mask)
-        return (g2, jnp.linalg.norm(delta), chi2)
+        # backtracking step control — same monotone-descent guard as
+        # sparse.backtrack_step (a raw GN step on loop graphs with long
+        # lever arms can overshoot and diverge with more iterations)
+        from lio_slam_tpu.graph import sparse as _sp
+        dmat = delta.reshape(g.poses.shape[0], 6)
+        dmat = jnp.where((active_mask & g.pose_mask)[:, None], dmat, 0.0)
+        new_poses, scale = _sp.backtrack_step(g, dmat, chi2)
+        g2 = g._replace(poses=new_poses)
+        return (g2, jnp.linalg.norm(delta) * scale, chi2)
 
     g, dn, chi2 = jax.lax.fori_loop(
         0, iterations, step,

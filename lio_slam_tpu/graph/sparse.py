@@ -257,10 +257,37 @@ def _chol_solve_multi(S: jax.Array, B: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def backtrack_step(g: F.PoseGraph, delta: jax.Array, chi2_now: jax.Array):
+    """Chi2-gated backtracking line search on a GN step (round-4 verdict
+    next #4): on graphs with long-lever-arm loop factors the raw GN step
+    overshoots the linearization's validity region and DIVERGES with more
+    iterations (measured on the K=2048 loop graph: chi2 7e6 -> 8e9 going
+    from 5 to 20 iterations — float64 behaves identically, so precision is
+    not the problem; step control is).  Candidate scales [1, 1/2, 1/4, 1/8]
+    are costed with the errors-only `F.graph_chi2` and the best is kept
+    only if it REDUCES the cost — descent is monotone, so more iterations
+    can only help.  Returns (new_poses, scale_used)."""
+
+    def at_scale(s):
+        R, t = se3.pose6_to_Rt(g.poses)
+        dR, dt = se3.se3_exp(delta * s)
+        Rn, tn = se3.compose(R, t, dR, dt)
+        return se3.Rt_to_pose6(Rn, tn)
+
+    scales = jnp.asarray([1.0, 0.5, 0.25, 0.125], g.poses.dtype)
+    cand = jax.vmap(at_scale)(scales)                # (4, K, 6)
+    costs = jax.vmap(lambda p: F.graph_chi2(g, p))(cand)
+    best = jnp.argmin(costs)
+    improved = costs[best] < chi2_now
+    new_poses = jnp.where(improved, cand[best], g.poses)
+    return new_poses, jnp.where(improved, scales[best], 0.0)
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def solve_sparse(graph: F.PoseGraph, iterations: int = 5) -> SolveResult:
     """Full-graph GN over all active poses, O(K) memory / O(K·6³ + L²·K)
-    time per iteration.  Drop-in for `solver.solve(graph, pose_mask, n)`."""
+    time per iteration, with backtracking step control (monotone descent).
+    Drop-in for `solver.solve(graph, pose_mask, n)`."""
 
     def step(_, carry):
         g, _, _ = carry
@@ -268,11 +295,9 @@ def solve_sparse(graph: F.PoseGraph, iterations: int = 5) -> SolveResult:
         f = tridiag_factor(D, Loff)
         delta = _woodbury_apply(f, loops, b)         # (K, 6)
         delta = jnp.where(g.pose_mask[:, None], delta, 0.0)
-        R, t = se3.pose6_to_Rt(g.poses)
-        dR, dt = se3.se3_exp(delta)
-        Rn, tn = se3.compose(R, t, dR, dt)
-        g2 = g._replace(poses=se3.Rt_to_pose6(Rn, tn))
-        return (g2, jnp.linalg.norm(delta), chi2)
+        new_poses, scale = backtrack_step(g, delta, chi2)
+        g2 = g._replace(poses=new_poses)
+        return (g2, jnp.linalg.norm(delta) * scale, chi2)
 
     g, dn, chi2 = jax.lax.fori_loop(
         0, iterations, step,

@@ -268,11 +268,11 @@ def make_sharded_sparse_solver(mesh: Mesh, axes=("data",)):
             loops = (li, lj, Jli, Jlj, wl, lmask, nL)
             delta = _woodbury_sharded(f, loops, tb)
             delta = jnp.where(g.pose_mask[:, None], delta, 0.0)
-            R, t = se3.pose6_to_Rt(g.poses)
-            dR, dt = se3.se3_exp(delta)
-            Rn, tn = se3.compose(R, t, dR, dt)
-            g2 = g._replace(poses=se3.Rt_to_pose6(Rn, tn))
-            return (g2, jnp.linalg.norm(delta), chi2)
+            # backtracking step control, replicated (O(B) errors-only cost
+            # evals — negligible vs the solve; see sparse.backtrack_step)
+            new_poses, scale = sp.backtrack_step(g, delta, chi2)
+            g2 = g._replace(poses=new_poses)
+            return (g2, jnp.linalg.norm(delta) * scale, chi2)
 
         g, dn, chi2 = jax.lax.fori_loop(
             0, iterations, step,

@@ -243,7 +243,8 @@ def test_gps_slot_ring_recycles_oldest():
             imu_available=jnp.asarray(False),
             gps_pos=jnp.asarray([k * 5.0, 0.0, 0.0], jnp.float32),
             gps_info=jnp.ones(3), gps_valid=jnp.asarray(True))
-        state = lio._add_gps_factor(state, inp, jnp.int32(k % K), cfg)
+        state = lio._add_gps_factor(state, inp, jnp.int32(k % K), cfg,
+                                        lio.default_map_ops(cfg))
 
     # k=0 fails the strict traveled>0 gate; k=1..G+2 all add -> G+2 factors
     assert int(state.gps_count) == G + 2

@@ -144,3 +144,51 @@ def test_chain_region_rejects_non_chain_topology(chain):
     ref = sparse.solve_sparse(g, iterations=3).graph.poses
     got = sparse.solve_sparse(bad, iterations=3).graph.poses
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_backtracking_absolute_convergence_long_lever_loops():
+    """Round-4 verdict next #4: the K=2048-style long-lever-arm loop graph
+    must converge to CENTIMETERS, not meters.  Without step control the raw
+    GN step overshoots and chi2 DIVERGES with more iterations (measured
+    7e6 -> 8e9 from 5 -> 20 iterations, float64 identical); the
+    backtracking guard makes descent monotone.  K scaled to 512 here for
+    CI wall time — the full K=2048 gate runs in __graft_entry__'s dryrun."""
+    K = 512
+    rs = np.random.RandomState(0)
+    poses = np.zeros((K, 6), np.float32)
+    poses[:, 3] = np.arange(K)
+    poses += rs.randn(K, 6).astype(np.float32) * 0.02
+    B = (K - 1) + 16
+    meas = np.tile(np.array([0, 0, 0, 1, 0, 0], np.float32), (B, 1))
+    bt_i = np.concatenate([np.arange(K - 1), np.zeros(17, np.int64)])[:B]
+    bt_j = np.concatenate([np.arange(1, K), np.zeros(17, np.int64)])[:B]
+    bt_mask = np.zeros(B, bool)
+    bt_mask[:K - 1] = True
+    for q in range(4):                       # loops i <-> i+128
+        s = (K - 1) + q
+        bt_i[s], bt_j[s] = q * 64, q * 64 + 128
+        meas[s] = [0, 0, 0, 128.0, 0, 0]
+        bt_mask[s] = True
+    info = np.tile(np.asarray(F.info_from_variances(
+        (1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4))), (B, 1))
+    g = F.empty_graph(K, B, 16)._replace(
+        poses=jnp.asarray(poses), pose_mask=jnp.ones(K, bool),
+        prior_pose=jnp.asarray(poses[0]),
+        prior_info=F.info_from_variances(
+            (1e-2, 1e-2, np.pi ** 2, 1e8, 1e8, 1e8)),
+        bt_i=jnp.asarray(bt_i, jnp.int32), bt_j=jnp.asarray(bt_j, jnp.int32),
+        bt_meas=jnp.asarray(meas), bt_info=jnp.asarray(info, jnp.float32),
+        bt_mask=jnp.asarray(bt_mask))
+    truth = np.zeros((K, 6))
+    truth[:, 3] = np.arange(K)
+
+    r5 = sparse.solve_sparse(g, iterations=5)
+    r20 = sparse.solve_sparse(g, iterations=20)
+    d5 = float(np.abs(np.asarray(r5.graph.poses) - truth).max())
+    d20 = float(np.abs(np.asarray(r20.graph.poses) - truth).max())
+    # monotone: more iterations never hurt; 20 iterations are centimeters
+    assert d20 <= d5 + 1e-4, (d5, d20)
+    assert d20 < 0.05, f"not converged: {d20} m from optimum"
+    # chi2 at the solution is prior-noise-scale, not divergence-scale
+    chi_final = float(F.graph_chi2(r20.graph))
+    assert chi_final < 10.0, chi_final
