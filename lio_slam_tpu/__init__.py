@@ -33,10 +33,32 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # Persistent compilation cache: the full mapping step is a large XLA program
 # (~1-3 min first compile on the TPU tunnel); cache compiled executables on
 # disk so replays, tests, and the bench driver skip recompilation.
+#
+# The cache dir is keyed by a HOST-CPU fingerprint: XLA:CPU AOT executables
+# embed the compile machine's ISA features, and this VM migrates between
+# host generations — loading an entry compiled with (e.g.) avx512 variants
+# the current host lacks crashes the process with SIGILL mid-test
+# (observed 2026-08-21: two full-suite runs died inside an eager gather
+# loading a stale cached executable).  A migrated VM now simply starts a
+# fresh sub-cache instead of dying.
+import hashlib as _hashlib
 import os as _os
 
 _cache_dir = _os.environ.get("LIO_SLAM_TPU_CACHE",
                              _os.path.expanduser("~/.cache/lio_slam_tpu_xla"))
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _fp = _hashlib.sha1(
+                    " ".join(sorted(_line.split(":", 1)[1].split()))
+                    .encode()).hexdigest()[:12]
+                break
+        else:
+            _fp = "noflags"
+except OSError:  # pragma: no cover - non-Linux
+    _fp = "nocpuinfo"
+_cache_dir = _os.path.join(_cache_dir, _fp)
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

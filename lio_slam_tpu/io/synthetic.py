@@ -19,11 +19,14 @@ import jax.numpy as jnp
 
 class SyntheticSequence(NamedTuple):
     world: np.ndarray        # (W, 3) world points
-    poses: np.ndarray        # (T, 6) ground-truth pose6 per scan
+    poses: np.ndarray        # (T, 6) ground-truth pose6 per scan (sweep START)
     stamps: np.ndarray       # (T,)
     scans: np.ndarray        # (T, N, 3) body-frame observations
     scan_masks: np.ndarray   # (T, N)
     imu_rpy: np.ndarray      # (T, 3) noisy attitude per scan
+    # spinning-scanner sequences (make_sweep_sequence) also carry:
+    ptimes: np.ndarray = None  # (T, N) per-point seconds since sweep start
+    rings: np.ndarray = None   # (T, N) int32 beam index
 
 
 def make_world(seed: int = 0, extent: float = 45.0, n_per_surface: int = 60000):
@@ -52,6 +55,38 @@ def make_world(seed: int = 0, extent: float = 45.0, n_per_surface: int = 60000):
             xs = x0 + (x1 - x0) * t
             ys = y0 + (y1 - y0) * t
             surfaces.append(np.stack([xs, ys, u(n, 0, h)], 1))
+    world = np.concatenate(surfaces).astype(np.float32)
+    world += rs.randn(*world.shape).astype(np.float32) * 0.01
+    return world
+
+
+def make_corridor_world(length: float = 120.0, width: float = 6.0,
+                        height: float = 4.0, seed: int = 0,
+                        n_points: int = 120000):
+    """Degenerate corridor: ground strip + two long parallel walls (+ a far
+    end cap).  Planar support constrains only the ACROSS-corridor and
+    vertical directions — translation along the corridor axis is
+    unobservable to point-to-plane registration, the regime the reference's
+    eigenvalue-gated degeneracy projection exists for
+    (mapOptmization.cpp:1786-1814).  The brutal benchmark tier drives
+    missions through this."""
+    rs = np.random.RandomState(seed)
+    u = lambda n, lo, hi: rs.uniform(lo, hi, n).astype(np.float32)
+    n4 = n_points // 4
+    surfaces = [
+        # ground
+        np.stack([u(n4, -5.0, length), u(n4, -width / 2, width / 2),
+                  np.zeros(n4, np.float32)], 1),
+        # two walls
+        np.stack([u(n4, -5.0, length),
+                  np.full(n4, -width / 2, np.float32), u(n4, 0, height)], 1),
+        np.stack([u(n4, -5.0, length),
+                  np.full(n4, width / 2, np.float32), u(n4, 0, height)], 1),
+        # far end cap (only visible near the end)
+        np.stack([np.full(n4 // 4, length, np.float32),
+                  u(n4 // 4, -width / 2, width / 2),
+                  u(n4 // 4, 0, height)], 1),
+    ]
     world = np.concatenate(surfaces).astype(np.float32)
     world += rs.randn(*world.shape).astype(np.float32) * 0.01
     return world
@@ -158,10 +193,189 @@ def make_sequence(n_scans: int = 40, n_points: int = 8192, seed: int = 0,
                              scans=scans, scan_masks=masks, imu_rpy=imu_rpy)
 
 
+class RigSensor(NamedTuple):
+    """Spinning-scanner geometry for the sweep observation model — the
+    per-rig knobs that genuinely differ across the reference's configs
+    (`config/*.yaml`: N_SCAN, FOV, range, IMU rate — e.g. 6t.yaml's 80-beam
+    120 m lidar + 50 Hz IMU vs kitti.yaml's 64-beam + 100 Hz)."""
+
+    n_scan: int = 32          # beams (N_SCAN)
+    fov_up: float = 15.0      # deg
+    fov_down: float = -25.0   # deg
+    max_range: float = 60.0   # m
+    sweep_time: float = 0.1   # s per revolution (10 Hz scanner)
+    samples_per_scan: int = 10  # IMU samples per scan interval (rate x 0.1)
+
+
+def rig_sensor_for(cfg) -> RigSensor:
+    """Derive the sweep-sensor geometry from a Config preset: beam count,
+    range, and IMU rate come straight from the rig's real parameters; the
+    vertical FOV uses a spread wide enough to see the synthetic world for
+    any beam count (the reference configs don't carry FOV explicitly)."""
+    lid = cfg.lidar
+    return RigSensor(
+        n_scan=int(lid.n_scan),
+        max_range=float(min(lid.lidar_max_range, 80.0)),
+        samples_per_scan=max(int(round(cfg.imu.imu_rate * 0.1)), 2))
+
+
+def _pose_interp(poses: np.ndarray, stamps: np.ndarray, t: float) -> np.ndarray:
+    """Componentwise linear interpolation along the trajectory (yaw from
+    make_trajectory is continuous, so no wrap handling needed)."""
+    i = int(np.clip(np.searchsorted(stamps, t) - 1, 0, len(stamps) - 2))
+    a = (t - stamps[i]) / max(stamps[i + 1] - stamps[i], 1e-9)
+    a = min(max(a, 0.0), 1.0)
+    return poses[i] * (1.0 - a) + poses[i + 1] * a
+
+
+def make_sweep_trajectory(n_scans: int, dt: float = 0.1, speed: float = 2.0,
+                          yaw_rate: float = 0.15, ramp: float = 0.5,
+                          osc: float = 0.5, osc_freq: float = 2.0):
+    """Trajectory for sweep missions: starts AT REST (the first sweep is
+    undistorted, so the seed map is clean — matching how any real mission
+    initializes from a static or slow start) and the yaw rate OSCILLATES so
+    intra-scan distortion differs scan to scan.  A constant rate would make
+    every sweep identically distorted — undeskewed scans then match each
+    other perfectly and deskew looks useless, an artifact, not physics."""
+    ts = np.arange(n_scans, dtype=np.float32) * dt
+    s = np.clip(ts / max(ramp, 1e-6), 0.0, 1.0)          # rest -> cruise
+    w = yaw_rate * s * (1.0 + osc * np.sin(osc_freq * ts))
+    v = speed * s
+    yaw = np.cumsum(w * dt)
+    x = np.cumsum(np.cos(yaw) * v * dt)
+    y = np.cumsum(np.sin(yaw) * v * dt)
+    z = 0.5 + 0.1 * np.sin(ts * 0.5) * s
+    roll = 0.02 * np.sin(ts * 0.7) * s
+    pitch = 0.02 * np.cos(ts * 0.9) * s
+    return np.stack([roll, pitch, yaw, x, y, z], 1).astype(np.float32), ts
+
+
+def observe_sweep(world: np.ndarray, poses: np.ndarray, stamps: np.ndarray,
+                  i: int, n_points: int, sensor: RigSensor,
+                  noise: float = 0.01,
+                  rng: np.random.RandomState | None = None,
+                  time_bins: int = 32):
+    """Spinning-scanner observation of scan i — the physically-motivated
+    counterpart of `observe` (round-4 verdict next #3): the scanner
+    revolves over `sweep_time`, so each azimuth is observed at the pose the
+    platform ACTUALLY had at that instant (pose interpolated along the
+    trajectory during the sweep -> real intra-scan motion distortion that
+    only deskew can undo, `imageProjection.cpp:502-575`), with per-rig beam
+    geometry (N_SCAN discrete elevation beams thin the cloud vertically
+    like a real lidar).
+
+    Azimuth -> time follows the Velodyne convention (time relative to sweep
+    start; scan stamp = sweep start).  Returns (xyz, ptime, ring, mask),
+    each (n_points,...)."""
+    rng = rng or np.random.RandomState(0)
+    t0 = float(stamps[i])
+    p0 = _pose_interp(poses, stamps, t0)
+    R0 = np.asarray(se3.pose6_to_Rt(jnp.asarray(p0))[0])
+    tr0 = p0[3:6]
+    b0 = (world - tr0[None, :]) @ R0                  # R0^T (w - t), rows
+    d = np.linalg.norm(b0, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        elev = np.degrees(np.arcsin(np.clip(b0[:, 2] / np.maximum(d, 1e-6),
+                                            -1.0, 1.0)))
+    spacing = (sensor.fov_up - sensor.fov_down) / max(sensor.n_scan - 1, 1)
+    ring_f = (elev - sensor.fov_down) / spacing
+    ring = np.round(ring_f).astype(np.int32)
+    # discrete beams: keep points within the acceptance half-width of a beam
+    # center — beam count directly controls how much of the world a rig sees
+    beam_tol = min(0.35, spacing * 0.5)
+    on_beam = np.abs(elev - (sensor.fov_down + ring * spacing)) < beam_tol
+    vis = ((d < sensor.max_range) & (d > 0.8)
+           & (ring >= 0) & (ring < sensor.n_scan) & on_beam)
+    sel_all = np.where(vis)[0]
+    take = min(n_points, len(sel_all))
+    if take == 0:
+        z = np.zeros((n_points, 3), np.float32)
+        return (z, np.zeros(n_points, np.float32),
+                np.zeros(n_points, np.int32), np.zeros(n_points, bool))
+    # solid-angle weighting (1/d^2) like `observe`
+    logw = -2.0 * np.log(d[sel_all])
+    keys = logw + rng.gumbel(size=len(sel_all))
+    sel = sel_all[np.argpartition(-keys, take - 1)[:take]]
+    az = np.mod(np.arctan2(b0[sel, 1], b0[sel, 0]), 2.0 * np.pi)
+    ptime = (az / (2.0 * np.pi) * sensor.sweep_time).astype(np.float32)
+    # observe each azimuth at the pose the scanner had then (binned)
+    out = np.zeros((take, 3), np.float32)
+    edges = np.linspace(0.0, sensor.sweep_time, time_bins + 1)
+    bin_of = np.clip(np.digitize(ptime, edges) - 1, 0, time_bins - 1)
+    for b in range(time_bins):
+        m = bin_of == b
+        if not m.any():
+            continue
+        tb = t0 + 0.5 * (edges[b] + edges[b + 1])
+        pb = _pose_interp(poses, stamps, tb)
+        Rb = np.asarray(se3.pose6_to_Rt(jnp.asarray(pb))[0])
+        out[m] = ((world[sel[m]] - pb[3:6][None, :]) @ Rb).astype(np.float32)
+    out += rng.randn(take, 3).astype(np.float32) * noise
+    xyz = np.zeros((n_points, 3), np.float32)
+    xyz[:take] = out
+    pt = np.zeros(n_points, np.float32)
+    pt[:take] = ptime
+    rg = np.zeros(n_points, np.int32)
+    rg[:take] = ring[sel]
+    mask = np.arange(n_points) < take
+    return xyz, pt, rg, mask
+
+
+def make_sweep_sequence(n_scans: int = 40, n_points: int = 8192,
+                        seed: int = 0, sensor: RigSensor = RigSensor(),
+                        speed: float = 2.0, yaw_rate: float = 0.15,
+                        noise: float = 0.01, rpy_noise: float = 0.002,
+                        extent: float = 60.0,
+                        outlier_frac: float = 0.0,
+                        n_scatter: int = 0,
+                        world: np.ndarray = None) -> SyntheticSequence:
+    """Spinning-scanner mission: `make_sequence` semantics, but every scan
+    is observed through `observe_sweep` so it carries genuine intra-scan
+    motion distortion plus per-point times and beam indices.  The sequence's
+    `poses`/`stamps` are at sweep START (the stamp convention the deskew
+    path expects).  `world` overrides the default outdoor world (e.g.
+    `make_corridor_world` for the degenerate brutal tier)."""
+    rs = np.random.RandomState(seed + 1)
+    if world is None:
+        world = make_world(seed, extent=extent)
+    if n_scatter:
+        u = lambda n, lo, hi: rs.uniform(lo, hi, n).astype(np.float32)
+        scatter = np.stack([u(n_scatter, -extent, extent),
+                            u(n_scatter, -extent, extent),
+                            u(n_scatter, 0.2, 3.0)], 1)
+        world = np.concatenate([world, scatter])
+    # one extra trajectory sample so the last sweep can interpolate past its
+    # own stamp
+    poses_ext, stamps_ext = make_sweep_trajectory(n_scans + 1, speed=speed,
+                                                  yaw_rate=yaw_rate)
+    scans = np.zeros((n_scans, n_points, 3), np.float32)
+    ptimes = np.zeros((n_scans, n_points), np.float32)
+    rings = np.zeros((n_scans, n_points), np.int32)
+    masks = np.zeros((n_scans, n_points), bool)
+    for i in range(n_scans):
+        scans[i], ptimes[i], rings[i], masks[i] = observe_sweep(
+            world, poses_ext, stamps_ext, i, n_points, sensor,
+            noise=noise, rng=rs)
+        n_valid = int(masks[i].sum())
+        if outlier_frac > 0.0 and n_valid:
+            n_out = int(n_valid * outlier_frac)
+            if n_out:
+                idx = rs.choice(n_valid, n_out, replace=False)
+                scans[i, idx] = np.stack([
+                    rs.uniform(-40, 40, n_out), rs.uniform(-40, 40, n_out),
+                    rs.uniform(-2, 10, n_out)], 1).astype(np.float32)
+    poses = poses_ext[:n_scans]
+    imu_rpy = poses[:, :3] + rs.randn(n_scans, 3).astype(np.float32) * rpy_noise
+    return SyntheticSequence(world=world, poses=poses,
+                             stamps=stamps_ext[:n_scans], scans=scans,
+                             scan_masks=masks, imu_rpy=imu_rpy,
+                             ptimes=ptimes, rings=rings)
+
+
 def make_imu_windows(seq: SyntheticSequence, window: int,
                      samples_per_scan: int = 10, gravity: float = 9.80511,
                      gyr_noise: float = 0.0, acc_noise: float = 0.0,
-                     seed: int = 0):
+                     seed: int = 0, sweep_cover: float = 0.0):
     """Emulated IMU sensor windows per scan for on-device replay.
 
     Physically-consistent measurements (NOT oracle guesses — the front-end
@@ -170,6 +384,13 @@ def make_imu_windows(seq: SyntheticSequence, window: int,
     - acc = R_i^T (dv_world/dt + g e_z) with v_world finite-differenced from
       the trajectory (includes the centripetal term a straight [0,0,g] fake
       would miss).
+
+    sweep_cover > 0 appends samples covering (t_i, t_i + sweep_cover] too —
+    the deskew rotation table needs IMU through the sweep END
+    (imuDeskewInfo requires coverage past timeScanEnd,
+    imageProjection.cpp:359-376; the reference's 2-scan delay buffer exists
+    for exactly this).  The front-end's correction mask (rel_t <= 0)
+    automatically excludes the appended samples.
 
     Returns stacked arrays (acc (N,W,3), gyr (N,W,3), dts (N,W),
     rel_t (N,W), imask (N,W)) padded to `window`, matching
@@ -190,12 +411,18 @@ def make_imu_windows(seq: SyntheticSequence, window: int,
     v = np.gradient(p, st, axis=0)                       # (n, 3)
     a_w = np.gradient(v, st, axis=0)                     # (n, 3)
 
+    def body_rates(i, j):
+        """(w_body, a_body) over the interval poses[i] -> poses[j]."""
+        dt_scan = float(st[j] - st[i])
+        Rm_prev = np.asarray(se3.pose6_to_Rt(jnp.asarray(seq.poses[i]))[0])
+        Rm = np.asarray(se3.pose6_to_Rt(jnp.asarray(seq.poses[j]))[0])
+        w_body = np.asarray(se3.so3_log(jnp.asarray(Rm_prev.T @ Rm))) / dt_scan
+        a_body = Rm.T @ (a_w[j] + np.array([0.0, 0.0, gravity]))
+        return w_body, a_body
+
     for i in range(1, n):
         dt_scan = float(st[i] - st[i - 1])
-        Rm_prev = np.asarray(se3.pose6_to_Rt(jnp.asarray(seq.poses[i - 1]))[0])
-        Rm = np.asarray(se3.pose6_to_Rt(jnp.asarray(seq.poses[i]))[0])
-        w_body = np.asarray(se3.so3_log(jnp.asarray(Rm_prev.T @ Rm))) / dt_scan
-        a_body = Rm.T @ (a_w[i] + np.array([0.0, 0.0, gravity]))
+        w_body, a_body = body_rates(i - 1, i)
         k = min(T, W)
         gyr[i, :k] = w_body[None, :] + \
             rs.randn(k, 3) * gyr_noise
@@ -206,6 +433,19 @@ def make_imu_windows(seq: SyntheticSequence, window: int,
         rel_t[i, :k] = (np.linspace(st[i - 1], st[i], T + 1)[1:k + 1]
                         - st[i]).astype(np.float32)
         imask[i, :k] = True
+        if sweep_cover > 0.0:
+            # rates over the NEXT interval approximate the sweep's motion
+            # (the trajectory is smooth at scan scale)
+            j = min(i + 1, n - 1)
+            w_nxt, a_nxt = body_rates(i, j) if j > i else (w_body, a_body)
+            ks = min(max(int(np.ceil(T * sweep_cover / dt_scan)), 2), W - k)
+            if ks > 0:
+                gyr[i, k:k + ks] = w_nxt[None, :] + rs.randn(ks, 3) * gyr_noise
+                acc[i, k:k + ks] = a_nxt[None, :] + rs.randn(ks, 3) * acc_noise
+                dts[i, k:k + ks] = sweep_cover / ks
+                rel_t[i, k:k + ks] = np.linspace(
+                    0.0, sweep_cover, ks + 1)[1:].astype(np.float32)
+                imask[i, k:k + ks] = True
     return (acc, gyr, dts, rel_t, imask)
 
 

@@ -30,6 +30,18 @@ round 3's loss (230 vs 310).  Scan pre-sorting by cell cuts the fused call
 20% in isolation but loses ~5% end-to-end to the argsort
 (registration.sort_scan_by_cell, default off).  z stays the default.
 
+Round-5 lever audit (tools/prof_hbm_levers.py, real v5e): the candidate
+fetch is DESCRIPTOR-bound, not bytes-bound — the fused call is flat in C
+(1.47 ms at C=8 vs 1.63 ms at C=40, 5x the bytes) and exactly equals the
+bare XLA gather at every C, i.e. ~49 M row-fetches/s is the roof and the
+kernel compute is free.  Consequences, each measured: f16/quantized row
+packing cannot speed it (bytes are not the constraint); 512 B row sizing
+only inflates the reported GB/s; candidate-superset reuse is saturated
+(corr_refresh 1..6 -> 359..377 scans/s end-to-end, flat); the one
+descriptor-side lever (halo="full", 1 row/query) loses 2x end-to-end on
+insert amplification, as recorded above.  Raising absolute step throughput
+from here means fewer GATHERS per scan (algorithmic), not faster ones.
+
 Build/insert emit one (bucket, point) row per halo offset, sort all rows by
 bucket once, rank within runs, and scatter — rows of distinct cells that
 hash-collide into one bucket merge into a single correctly-ranked run (a

