@@ -77,6 +77,16 @@ def apply_pileup_gate(acc: jax.Array, gyr: jax.Array, dt: jax.Array,
     Samples with dt <= min_dt are replaced by a stationary placeholder
     (acc = (0,0,g) i.e. gravity reaction only, omega = 0); non-positive dt
     becomes `fallback_dt`.
+
+    NOTE the fork's fixed 10 ms threshold assumes its own 50 Hz rig: on a
+    genuine >=200 Hz IMU every REAL sample arrives under 10 ms and would be
+    gated into the placeholder — the front-end then integrates near-zero
+    rotation and the whole pipeline drifts (measured: the 500 Hz presets
+    at ATE 1.6-7 m vs 0.08 m at 100 Hz on the same mission; the upstream
+    LIO-SAM 500 Hz rigs this fork inherited would break identically).
+    `make_frontend` therefore derives min_dt from the configured imu_rate
+    (half the nominal period, capped at the fork's 10 ms) — a deliberate
+    parity fix, like the plane-fit one.
     """
     # strict comparison with slack: a nominal-100 Hz stream (dt == 0.01) must
     # NOT be gated; only genuinely piled-up samples (dt clearly below the gap)

@@ -82,9 +82,16 @@ def reinitialize(state: ImuFrontendState,
 
 def make_frontend(cfg: ImuConfig):
     g = cfg.gravity
+    # pileup threshold derived from the rig's nominal rate (half the
+    # period, capped at the fork's 10 ms): the fork's fixed 10 ms gate
+    # assumes a 50 Hz IMU and silently replaces EVERY genuine sample of a
+    # >=200 Hz stream with the stationary placeholder (see
+    # ops/preintegration.apply_pileup_gate)
+    min_dt = min(0.01, 0.5 / max(cfg.imu_rate, 1.0))
 
     def _preintegrate(acc, gyr, dt, mask, bg, ba):
-        acc, gyr, dt = pre.apply_pileup_gate(acc, gyr, dt, g)
+        acc, gyr, dt = pre.apply_pileup_gate(acc, gyr, dt, g,
+                                             min_dt=min_dt)
         # log-depth associative-scan version (matches the sequential
         # reference; ~20x faster for a 512-sample window on TPU)
         return pre.preintegrate_parallel(acc, gyr, dt, mask, bg, ba,
@@ -150,10 +157,20 @@ def make_frontend(cfg: ImuConfig):
             H = H.at[3:6, 6:9].set(jnp.eye(3))
             r = jnp.concatenate([se3.so3_log(nav.R.T @ Rm), pm - nav.p])
 
+            # P must stay symmetric through the propagation before the gain
+            # is computed: with many fine-dt samples per window (a >=200 Hz
+            # IMU) the float32 F P Fᵀ product loses symmetry/PSD and the
+            # velocity rows of K blow up — measured as a one-scan -5 m/s
+            # velocity swing from a 3 cm innovation that then poisons the
+            # next guess by ~1 m.  Symmetrize + solve (no explicit inverse)
+            # + Joseph-form update keep the filter conditioned.
+            P = 0.5 * (P + P.T)
             S = H @ P @ H.T + Rn
-            K = P @ H.T @ jnp.linalg.inv(S)
+            S = 0.5 * (S + S.T)
+            K = jnp.linalg.solve(S, H @ P).T
             dx = K @ r
-            P_new = (jnp.eye(15, dtype=pm.dtype) - K @ H) @ P
+            IKH = jnp.eye(15, dtype=pm.dtype) - K @ H
+            P_new = IKH @ P @ IKH.T + K @ Rn @ K.T
 
             R_new = nav.R @ se3.so3_exp(dx[:3])
             nav_new = pre.NavState(R=R_new, p=nav.p + dx[6:9], v=nav.v + dx[3:6])
@@ -183,7 +200,8 @@ def make_frontend(cfg: ImuConfig):
         """IMU-rate odometry (imuHandler): pose at every sample of the window,
         propagated from the last fused state — the `odometry/imu_incremental`
         stream as one (T, 6) tensor."""
-        acc_g, gyr_g, dt_g = pre.apply_pileup_gate(acc, gyr, dt, g)
+        acc_g, gyr_g, dt_g = pre.apply_pileup_gate(acc, gyr, dt, g,
+                                                   min_dt=min_dt)
         return pre.integrate_pose_train(
             state.nav.R, state.nav.p, state.nav.v,
             acc_g - state.bias_acc, gyr_g - state.bias_gyr,

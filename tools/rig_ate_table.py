@@ -77,7 +77,16 @@ STATIC = StaticConfig(
 def make_rig_sequence(name: str, n: int, n_points: int, tier: str):
     """Per-rig sweep mission: the rig's own beam count / range / IMU rate
     observe the shared world+trajectory, so sequences differ where the
-    SENSORS differ (round-4 verdict missing #3)."""
+    SENSORS differ (round-4 verdict missing #3).
+
+    Livox-family rigs (SensorType.LIVOX: livox, m1) are SOLID-STATE
+    scanners — a non-repetitive flower pattern over the full FOV, not N
+    spinning elevation rings.  Forcing them through the spinning model
+    reduces them to a handful of striped beams (m1's 6 rings x
+    downsample 3 -> ~2 effective beams) and produces failure modes their
+    real sensor does not have; they use the instantaneous observation
+    model instead (their per-point distortion pattern is not modeled),
+    flagged in the output row."""
     cfg = dataclasses.replace(PRESETS[name](), static=STATIC)
     # positional deskew stays OFF like the reference ships it: measured on
     # the kitti sweep mission, the rate-train increment HURTS (steady-state
@@ -85,27 +94,38 @@ def make_rig_sequence(name: str, n: int, n_points: int, tier: str):
     # convergence transient, 0.47 vs 0.38 peak) because the open-loop
     # velocity estimate's error enters every point of the cloud
     sensor = synthetic.rig_sensor_for(cfg)
+    from lio_slam_tpu.config import SensorType
+    solid_state = cfg.lidar.sensor == SensorType.LIVOX
     knobs = {"easy": {}, "hard": dict(outlier_frac=0.02, n_scatter=20000),
              "brutal": dict(outlier_frac=0.10, n_scatter=40000)}[tier]
-    if tier == "brutal":
-        # GPS-denied degenerate corridor: straight run between parallel
-        # walls; along-axis translation unobservable to point-to-plane
-        world = synthetic.make_corridor_world(seed=0)
+    imu_noise = (dict(gyr_noise=0.005, acc_noise=0.05)
+                 if tier == "brutal" else {})
+    world = synthetic.make_corridor_world(seed=0) if tier == "brutal" else None
+    traj = dict(speed=2.0, yaw_rate=0.0) if tier == "brutal" else \
+        dict(speed=2.0)
+    if solid_state:
+        # same trajectory/world as every other rig, but continuous
+        # elevation coverage (n_scan=200 -> the acceptance band tiles the
+        # full FOV) and an effectively instantaneous exposure
+        # (sweep_time -> 0): the flower pattern's coverage is represented,
+        # its per-point timing/distortion is what we cannot model
+        cont = synthetic.RigSensor(n_scan=200, max_range=sensor.max_range,
+                                   sweep_time=1e-6,
+                                   samples_per_scan=sensor.samples_per_scan)
         seq = synthetic.make_sweep_sequence(
-            n_scans=n, n_points=n_points, seed=0, sensor=sensor,
-            speed=2.0, yaw_rate=0.0, world=world, **knobs)
-        imu_noise = dict(gyr_noise=0.005, acc_noise=0.05)
+            n_scans=n, n_points=n_points, seed=0, sensor=cont,
+            world=world, **knobs, **traj)
     else:
         seq = synthetic.make_sweep_sequence(
             n_scans=n, n_points=n_points, seed=0, sensor=sensor,
-            speed=2.0, **knobs)
-        imu_noise = {}
-    return cfg, sensor, seq, imu_noise
+            world=world, **knobs, **traj)
+    return cfg, sensor, seq, imu_noise, solid_state
 
 
 def run_rig(name: str, n: int, n_points: int, tier: str,
             loop_every: int = 10):
-    cfg, sensor, seq, imu_noise = make_rig_sequence(name, n, n_points, tier)
+    cfg, sensor, seq, imu_noise, solid_state = make_rig_sequence(
+        name, n, n_points, tier)
     W = STATIC.max_imu_window
     acc, gyr, dts, rel_t, imask = synthetic.make_imu_windows(
         seq, W, samples_per_scan=sensor.samples_per_scan,
@@ -138,6 +158,8 @@ def run_rig(name: str, n: int, n_points: int, tier: str,
             "finite": bool(np.isfinite(poses).all()),
             "wall_s": round(elapsed, 1),
             # the simulated sensor actually used (evidence that rigs differ)
+            "sensor_model": ("instantaneous (solid-state pattern "
+                             "not modeled)" if solid_state else "sweep"),
             "sensor_beams": sensor.n_scan,
             "sensor_range_m": sensor.max_range,
             "imu_samples_per_scan": sensor.samples_per_scan,

@@ -11,6 +11,12 @@ Two components, swept over 1/2/4/.../N-device meshes at FIXED total work:
   cloud sharded — included as a diagnostic: the global downsample sort and
   the replicated backend force gathers, so this measures what sharding the
   monolithic step costs, not how the system is meant to scale.
+- `sharded_mission`: the round-5 production scaling unit — the mission step
+  with the PERSISTENT map sharded (per-device HashGrid shards, sharded
+  cloud store, all-gather top-k registration; parallel/mission.py).  Total
+  map capacity grows with n, so this sweep holds PER-DEVICE grid size
+  fixed and reports throughput at each n (weak-scaling of capacity at
+  steady throughput is the goal on real chips).
 
 Interpretation depends on the backend:
 - real multi-chip (--backend tpu on a slice): devices add silicon; report
@@ -148,6 +154,54 @@ def main():
         results["full_step"].append(
             {"devices": n, "ms": round(t * 1e3, 2),
              "scans_per_sec": round(n_scans / t, 2)})
+
+    # --- component 3: the SHARDED MISSION (persistent map over the mesh) --
+    from lio_slam_tpu.config import KeyframeConfig
+    from lio_slam_tpu.parallel import mission as pmission
+
+    results["sharded_mission"] = []
+    m_cfg = Config(
+        static=StaticConfig(
+            max_raw_points=N // 4, max_scan_points=N // 4,
+            max_map_points=M // 4, max_keyframes=64,
+            max_keyframe_points=N // 4, max_loop_queue=4, max_gps_queue=4,
+            window_size=16, max_imu_window=16),
+        registration=RegistrationConfig(grid_table_size=8192,
+                                        grid_max_per_cell=8),
+        keyframe=KeyframeConfig(dist_threshold=0.2))
+    seq_m = synthetic.make_sequence(n_scans=n_scans, n_points=N // 4,
+                                    seed=0, speed=2.0)
+    incs_m = np.stack([np.asarray(se3.pose6_between(
+        jnp.asarray(seq_m.poses[max(i - 1, 0)]),
+        jnp.asarray(seq_m.poses[i]))) for i in range(n_scans)])
+    for n in sizes:
+        mesh = mesh_mod.make_mesh(n)
+        init_m, step_m, _corr, _ops = pmission.make_sharded_mission(
+            mesh, m_cfg)
+
+        @jax.jit
+        def replay_m(state, batched):
+            def body(st, inp):
+                guess = se3.pose6_compose(st.pose, inp.init_guess)
+                st, out = step_m(st, inp._replace(init_guess=guess))
+                return st, out.pose
+            return jax.lax.scan(body, state, batched)
+
+        bm = lio.ScanInput(
+            cloud=pc.Cloud(xyz=jnp.asarray(seq_m.scans),
+                           mask=jnp.asarray(seq_m.scan_masks)),
+            stamp=jnp.asarray(seq_m.stamps), init_guess=jnp.asarray(incs_m),
+            guess_valid=jnp.asarray(np.arange(n_scans) > 0),
+            imu_rpy=jnp.asarray(seq_m.imu_rpy),
+            imu_available=jnp.ones(n_scans, bool),
+            gps_pos=jnp.zeros((n_scans, 3)),
+            gps_info=jnp.zeros((n_scans, 3)),
+            gps_valid=jnp.zeros(n_scans, bool))
+        t = timeit(lambda: replay_m(init_m(), bm)[1])
+        results["sharded_mission"].append(
+            {"devices": n, "ms": round(t * 1e3, 2),
+             "scans_per_sec": round(n_scans / t, 2),
+             "total_grid_rows": n * 8192 * 8})
 
     # --- report ------------------------------------------------------------
     lines = []
