@@ -22,6 +22,13 @@ Tiers:
                    reference's own test log documents, README.md:220-283).
                    Failures here are REPORTED, not hidden.
 
+NOTE 'easy' is not uniformly easiest: the clean world is FEATURE-POOR
+(planes only, no clutter), and rigs that decimate heavily (kitti's
+downsample 2 x point_filter 5, ouster, jeep) lose yaw constraint on it
+mid-mission (measured: kitti 4.18 m easy vs 0.056 m hard — the hard
+tier's 20k scatter points add the yaw-constraining texture).  This is the
+real-world empty-parking-lot failure regime, reported as measured.
+
     python tools/rig_ate_table.py [--scans 60] [--rigs 6t,kitti,...]
                                   [--tier hard] [--json out.json]
 
