@@ -53,6 +53,7 @@ def bench_config() -> Config:
     """Production-ish shapes: ~8k registered points vs a 64k-point local map
     (what a 16-to-80-beam scan looks like after the reference's 0.4 m voxel
     downsample)."""
+    from lio_slam_tpu.config import ImuConfig
     return Config(
         static=StaticConfig(
             max_raw_points=32768, max_scan_points=8192, max_map_points=65536,
@@ -64,6 +65,14 @@ def bench_config() -> Config:
             # IMU-rate pose train integrates W sequential steps per scan,
             # so an oversized window is pure latency
             max_imu_window=64),
+        # the configured rate MUST match the harness's actual 100 Hz
+        # sample spacing: the runner fabricates the first sample's dt as
+        # 1/imu_rate, and a 500 Hz config against 100 Hz data mislabels a
+        # 10 ms-spaced sample as 2 ms — the old (broken) 10 ms pileup gate
+        # happened to mask the mismatch by discarding that sample; the
+        # rate-correct gate integrates it and the mislabeled dt becomes a
+        # systematic under-integration bias
+        imu=ImuConfig(imu_rate=100.0),
         # corr_refresh_every=2: hold the gathered candidate superset for one
         # extra GN iteration (in-kernel 5-NN still re-selects per iteration).
         # halo stays "z": the "xy" layout's fused call is 31% faster in

@@ -115,6 +115,15 @@ def make_frontend(cfg: ImuConfig):
                 failure=jnp.zeros((), bool))
 
         def update(state: ImuFrontendState):
+            # the 15x15 covariance algebra below MUST run at full float32:
+            # the TPU MXU's default 'float32' matmul is a multi-pass bf16
+            # decomposition whose error floor is far above the covariance's
+            # small-magnitude bias blocks — measured as a TPU-only
+            # systematic ~8 cm/scan drift (CPU bit-identical code: 7 mm
+            # total) after the Joseph-form update landed.  These matrices
+            # are tiny; HIGHEST costs nothing.
+            prec = jax.lax.Precision.HIGHEST
+            mm = lambda a, b: jnp.matmul(a, b, precision=prec)
             pint = _preintegrate(acc, gyr, dt, mask, state.bias_gyr,
                                  state.bias_acc)
             nav = pre.predict(state.nav, pint, g)
@@ -144,7 +153,7 @@ def make_frontend(cfg: ImuConfig):
             Q = Q.at[:9, :9].set(Gblk @ pint.cov @ Gblk.T)
             Q = Q.at[9:12, 9:12].set(jnp.eye(3) * cfg.gyr_bias_noise ** 2 * T)
             Q = Q.at[12:15, 12:15].set(jnp.eye(3) * cfg.acc_bias_noise ** 2 * T)
-            P = F @ state.cov @ F.T + Q
+            P = mm(mm(F, state.cov), F.T) + Q
 
             # measurement: lidar pose (rot + trans); correctionNoise sigma
             # 0.05 rad / 0.1 m, inflated when degenerate (correctionNoise2)
@@ -165,12 +174,13 @@ def make_frontend(cfg: ImuConfig):
             # next guess by ~1 m.  Symmetrize + solve (no explicit inverse)
             # + Joseph-form update keep the filter conditioned.
             P = 0.5 * (P + P.T)
-            S = H @ P @ H.T + Rn
+            S = mm(mm(H, P), H.T) + Rn
             S = 0.5 * (S + S.T)
-            K = jnp.linalg.solve(S, H @ P).T
-            dx = K @ r
-            IKH = jnp.eye(15, dtype=pm.dtype) - K @ H
-            P_new = IKH @ P @ IKH.T + K @ Rn @ K.T
+            K = jnp.linalg.solve(S, mm(H, P)).T
+            dx = mm(K, r)
+            IKH = jnp.eye(15, dtype=pm.dtype) - mm(K, H)
+            P_new = (mm(mm(IKH, P), IKH.T)
+                     + mm(mm(K, Rn), K.T))
 
             R_new = nav.R @ se3.so3_exp(dx[:3])
             nav_new = pre.NavState(R=R_new, p=nav.p + dx[6:9], v=nav.v + dx[3:6])

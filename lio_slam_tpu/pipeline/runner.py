@@ -1073,8 +1073,13 @@ def _run_synthetic(args):
         if i > 0:
             inc = np.asarray(se3.pose6_between(jnp.asarray(seq.poses[i - 1]),
                                                jnp.asarray(seq.poses[i])))
-            T = 10
-            dtau = (seq.stamps[i] - seq.stamps[i - 1]) / T
+            # sample count follows the preset's configured rate: the first
+            # sample's dt is fabricated as 1/imu_rate in _prep_imu_window,
+            # so feeding fewer samples than the rate implies mislabels that
+            # dt and biases the integration (the bench had this mismatch)
+            span = float(seq.stamps[i] - seq.stamps[i - 1])
+            T = max(int(round(cfg.imu.imu_rate * span)), 2)
+            dtau = span / T
             gyr = np.tile(inc[:3] / (T * dtau), (T, 1)).astype(np.float32)
             acc = np.tile([0, 0, cfg.imu.gravity], (T, 1)).astype(np.float32)
             stamps = seq.stamps[i - 1] + np.arange(1, T + 1) * dtau
